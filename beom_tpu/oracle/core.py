@@ -1,0 +1,236 @@
+"""f64 NumPy oracle — the executable spec (SURVEY.md §3 component C24).
+
+An *independent* re-derivation of the discretization of SURVEY.md §1:
+same staggering and schemes as the JAX core, written separately in plain
+NumPy at float64, used as the gold standard for parity tests until real
+reference-Fortran fixtures exist (the fixture interface is data-only, so
+swapping in Fortran outputs later changes no test code).
+
+Deliberately simple and slow-ish; correctness over speed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from beom_tpu.core.config import Config
+
+F = np.float64
+
+
+def _xp(a):  # value at [i+1] (periodic)
+    return np.roll(a, -1, -1)
+
+
+def _xm(a):
+    return np.roll(a, 1, -1)
+
+
+def _yp(a):
+    return np.roll(a, -1, -2)
+
+
+def _ym(a):
+    return np.roll(a, 1, -2)
+
+
+class Oracle:
+    """Double-precision reference integrator for the layered SW core."""
+
+    def __init__(self, cfg: Config, H, mask=None, taux=None, tauy=None,
+                 sponge=None, h_ext=None):
+        self.cfg = cfg
+        ny, nx = cfg.ny, cfg.nx
+        self.H = np.asarray(H, F)
+        if mask is None:
+            m = (self.H > 0).astype(F)
+            m[0, :] = m[-1, :] = m[:, 0] = m[:, -1] = 0.0
+        else:
+            m = np.asarray(mask, F)
+        self.m = m
+        self.H = self.H * m
+        self.mu = m * _xp(m)
+        self.mv = m * _yp(m)
+        self.mq = m * _xp(m) * _yp(m) * _xp(_yp(m))
+        yq = (np.arange(ny, dtype=F) + 0.5) * cfg.dy
+        self.f_q = np.broadcast_to((cfg.f0 + cfg.beta * yq)[:, None],
+                                   (ny, nx)).copy()
+        self.taux = np.zeros((ny, nx), F) if taux is None else np.asarray(taux, F)
+        self.tauy = np.zeros((ny, nx), F) if tauy is None else np.asarray(tauy, F)
+        self.sponge = None if sponge is None else np.asarray(sponge, F)
+        self.h_ext = None if h_ext is None else np.asarray(h_ext, F)
+        self.gp = np.asarray(cfg.gprime, F)
+        # match core/ops.py exactly: differences multiply by 1/dx, so the
+        # oracle is bit-comparable op-for-op in f64
+        self.rdx = 1.0 / cfg.dx
+        self.rdy = 1.0 / cfg.dy
+
+    # ---- operators (independent of core/ops.py) -----------------------
+
+    def montgomery(self, h):
+        eta = h.sum(0) - self.H
+        M = np.empty_like(h)
+        acc = self.gp[0] * eta
+        M[0] = acc
+        z = eta.copy()
+        for k in range(1, self.cfg.nz):
+            z = z - h[k - 1]
+            acc = acc + self.gp[k] * z
+            M[k] = acc
+        return M
+
+    def lap_u(self, u):
+        c = self.cfg
+        gx = (u - _xm(u)) * self.rdx * self.m
+        gy = (_yp(u) - u) * self.rdy
+        if c.slip == "free":
+            gy = gy * self.mq
+        return ((_xp(gx) - gx) * self.rdx + (gy - _ym(gy)) * self.rdy) * self.mu
+
+    def lap_v(self, v):
+        c = self.cfg
+        gy = (v - _ym(v)) * self.rdy * self.m
+        gx = (_xp(v) - v) * self.rdx
+        if c.slip == "free":
+            gx = gx * self.mq
+        return ((_yp(gy) - gy) * self.rdy + (gx - _xm(gx)) * self.rdx) * self.mv
+
+    def fluxes(self, h, u, v):
+        c = self.cfg
+        hx = 0.5 * (h + _xp(h))
+        hy = 0.5 * (h + _yp(h))
+        if c.wetdry:
+            thin = 2.0 * c.h_dry
+            hx_up = np.where(u > 0, h, _xp(h))
+            hy_up = np.where(v > 0, h, _yp(h))
+            hx = np.where(np.minimum(h, _xp(h)) < thin, hx_up, hx)
+            hy = np.where(np.minimum(h, _yp(h)) < thin, hy_up, hy)
+            hx = np.maximum(hx, 0.0)
+            hy = np.maximum(hy, 0.0)
+        Fx = self.mu * hx * u
+        Fy = self.mv * hy * v
+        if c.wetdry:
+            out = (np.maximum(Fx, 0) + np.maximum(-_xm(Fx), 0)) / c.dx \
+                + (np.maximum(Fy, 0) + np.maximum(-_ym(Fy), 0)) / c.dy
+            avail = np.maximum(h - c.h_min, 0.0)
+            need = out * c.dt
+            scale = np.where(need > avail, avail / np.maximum(need, 1e-30), 1.0)
+            Fx = Fx * np.where(Fx > 0, scale, _xp(scale))
+            Fy = Fy * np.where(Fy > 0, scale, _yp(scale))
+        return Fx, Fy
+
+    # ---- one FB step ---------------------------------------------------
+
+    def step(self, h, u, v, n, t):
+        c = self.cfg
+        dt = c.dt
+
+        Fx, Fy = self.fluxes(h, u, v)
+        dh = -((Fx - _xm(Fx)) * self.rdx + (Fy - _ym(Fy)) * self.rdy) * self.m
+        if self.sponge is not None:
+            dh = dh + self.sponge * (self.h_ext - h)
+        h1 = (h + dt * dh) * self.m
+
+        M = self.montgomery(h1)
+        linear = c.adv_scheme == "linear"
+        if linear:
+            phi = M
+            q = np.broadcast_to(self.f_q, h.shape).copy()
+            U, V = u.copy(), v.copy()
+        else:
+            ke = 0.5 * (0.5 * (u * u + _xm(u * u))
+                        + 0.5 * (v * v + _ym(v * v)))
+            phi = M + ke
+            # backward-consistent: PV and mass fluxes weighted by the
+            # *updated* thickness h1, matching the M(h1) pressure step
+            zeta = ((_xp(v) - v) * self.rdx - (_yp(u) - u) * self.rdy) * self.mq
+            hq = np.maximum(0.25 * (h1 + _xp(h1) + _yp(h1) + _xp(_yp(h1))),
+                            c.h_min)
+            q = (self.f_q + zeta) / hq
+            U = 0.5 * (h1 + _xp(h1)) * u
+            V = 0.5 * (h1 + _yp(h1)) * v
+
+        du = -(_xp(phi) - phi) * self.rdx
+        dv = -(_yp(phi) - phi) * self.rdy
+        if c.nu2 != 0.0:
+            du = du + c.nu2 * self.lap_u(u)
+            dv = dv + c.nu2 * self.lap_v(v)
+        if c.nu4 != 0.0:
+            du = du - c.nu4 * self.lap_u(self.lap_u(u))
+            dv = dv - c.nu4 * self.lap_v(self.lap_v(v))
+        if c.wind:
+            hu = np.maximum(0.5 * (h1[0] + _xp(h1[0])), c.h_min)
+            hv = np.maximum(0.5 * (h1[0] + _yp(h1[0])), c.h_min)
+            du[0] += self.mu * self.taux / (c.rho0 * hu)
+            dv[0] += self.mv * self.tauy / (c.rho0 * hv)
+        if c.r_int != 0.0 and c.nz > 1:
+            hu = np.maximum(0.5 * (h1 + _xp(h1)), c.h_min)
+            hv = np.maximum(0.5 * (h1 + _yp(h1)), c.h_min)
+            for w, hw, dw in ((u, hu, du), (v, hv, dv)):
+                cpl = np.zeros_like(w)
+                cpl[1:] += w[:-1] - w[1:]
+                cpl[:-1] += w[1:] - w[:-1]
+                dw += c.r_int * cpl / hw
+        if self.sponge is not None:
+            du = du - 0.5 * (self.sponge + _xp(self.sponge)) * u
+            dv = dv - 0.5 * (self.sponge + _yp(self.sponge)) * v
+
+        # implicit bottom drag coefficients
+        cu = np.zeros_like(u)
+        cv = np.zeros_like(v)
+        if c.r_bot != 0.0 or c.cd_bot != 0.0:
+            hu = np.maximum(0.5 * (h1[-1] + _xp(h1[-1])), c.h_min)
+            hv = np.maximum(0.5 * (h1[-1] + _yp(h1[-1])), c.h_min)
+            v4 = 0.5 * (v[-1] + _xp(v[-1]))
+            v4 = 0.5 * (v4 + _ym(v4))
+            u4 = 0.5 * (u[-1] + _yp(u[-1]))
+            u4 = 0.5 * (u4 + _xm(u4))
+            sp_u = np.sqrt(u[-1] ** 2 + v4 ** 2)
+            sp_v = np.sqrt(v[-1] ** 2 + u4 ** 2)
+            cu[-1] = (c.r_bot + c.cd_bot * sp_u) / hu
+            cv[-1] = (c.r_bot + c.cd_bot * sp_v) / hv
+
+        def upd_u(vv, VV):
+            if linear:
+                cross = 0.5 * (self.f_q * 0.5 * (VV + _xp(VV))
+                               + _ym(self.f_q * 0.5 * (VV + _xp(VV))))
+            else:
+                t_ = q * 0.5 * (VV + _xp(VV))
+                cross = 0.5 * (t_ + _ym(t_))
+            return (u + dt * (du + cross)) / (1.0 + dt * cu) * self.mu
+
+        def upd_v(uu, UU):
+            if linear:
+                t_ = self.f_q * 0.5 * (UU + _yp(UU))
+            else:
+                t_ = q * 0.5 * (UU + _yp(UU))
+            cross = -0.5 * (t_ + _xm(t_))
+            return (v + dt * (dv + cross)) / (1.0 + dt * cv) * self.mv
+
+        if n % 2 == 0:
+            u1 = upd_u(v, V)
+            U1 = u1 if linear else 0.5 * (h1 + _xp(h1)) * u1
+            v1 = upd_v(u1, U1)
+        else:
+            v1 = upd_v(u, U)
+            V1 = v1 if linear else 0.5 * (h1 + _yp(h1)) * v1
+            u1 = upd_u(v1, V1)
+
+        if c.wetdry:
+            wet = ((h1 > c.h_dry).astype(F)) * self.m
+            for w, mw, sh in ((u1, self.mu, _xp), (v1, self.mv, _yp)):
+                wl, wr = wet, sh(wet)
+                gated = wl * wr * w + wl * (1 - wr) * np.maximum(w, 0) \
+                    + wr * (1 - wl) * np.minimum(w, 0)
+                w[:] = mw * gated
+
+        return h1, u1, v1, n + 1, t + dt
+
+    def run(self, h, u, v, n_steps, n0=0, t0=0.0):
+        h = np.asarray(h, F).copy()
+        u = np.asarray(u, F).copy()
+        v = np.asarray(v, F).copy()
+        n, t = n0, t0
+        for _ in range(n_steps):
+            h, u, v, n, t = self.step(h, u, v, n, t)
+        return h, u, v

@@ -1,0 +1,222 @@
+"""Distributed time stepping over a 2-D device mesh (SURVEY.md §3
+C20-C22, §4.2-§4.3).
+
+Strategy ("a global roll equals a local roll on a halo-padded shard",
+core/ops.py): the per-device step halo-pads the prognostic fields with
+`lax.ppermute` neighbour exchange, runs the *identical* single-chip
+step code on the padded block against halo-padded static fields
+(grid/forcing, padded once at setup), and crops the halo off the
+result.  The halo width must cover the full stencil radius of one step:
+
+    fb          — radius <= 8 (10 with biharmonic): continuity(3) +
+                  momentum/PV/viscosity(4|6) + finalize(2)  [conservative]
+    split       — fb radius + 2*nsub (each barotropic subcycle grows the
+                  dependence cone by 2); fine for production halos,
+                  per-subcycle 2-D exchange is a planned optimization
+    rigid_lid / implicit_fs — momentum radius for the provisional step,
+                  then a *per-iteration* 1-halo exchange inside CG
+                  (matvec hook) + psum dot products (SURVEY.md §4.3)
+
+`make_dist_stepper` returns (step_fn, sharded_state) where step_fn is a
+jit(shard_map(...)) over mesh axes ('y', 'x').
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from beom_tpu.core.config import Config
+from beom_tpu.core.grid import Grid, Forcing
+from beom_tpu.core.state import State
+from beom_tpu.core import ops
+from beom_tpu.parallel import halo
+from beom_tpu.parallel.mesh import SPEC2, SPEC3, spec_for, shard_pytree
+from beom_tpu.physics import continuity
+from beom_tpu.solvers import elliptic
+from beom_tpu.stepping import fb as fb_mod
+from beom_tpu.stepping import get_step
+from beom_tpu.stepping.projection import barotropic_transport
+
+
+def required_halo(cfg: Config) -> int:
+    """Conservative stencil radius of one full step.
+
+    The alternating FB-Coriolis sweep chains the second velocity through
+    the first (radius ~10 with the PV/KE stencils), wet/dry gating and
+    Flather add ~3, biharmonic viscosity 4.  The 1-vs-N-device
+    equivalence tests (tests/dist/) are the ground truth for these
+    bounds; over-padding costs only redundant halo compute.
+    """
+    base = 14
+    if cfg.nu4 != 0.0:
+        base += 4
+    if cfg.wetdry or cfg.obc:
+        base += 3
+    if cfg.scheme == "split":
+        return base + 2 * cfg.nsub
+    return base
+
+
+def _pad_tree(tree, w):
+    return jax.tree.map(lambda a: halo.pad2d(a, w) if a.ndim >= 2 else a,
+                        tree)
+
+
+def _crop_tree(tree, w):
+    return jax.tree.map(lambda a: halo.crop2d(a, w) if a.ndim >= 2 else a,
+                        tree)
+
+
+def pad_statics(grid: Grid, forcing: Forcing, cfg: Config, mesh, w: int):
+    """Halo-pad Grid/Forcing once; returns blocked-padded global arrays
+    (each device's block carries its own halo ring)."""
+    def pad_all(g, f):
+        return _pad_tree(g, w), _pad_tree(f, w)
+
+    specs_g = jax.tree.map(spec_for, grid)
+    specs_f = jax.tree.map(spec_for, forcing)
+    fn = shard_map(pad_all, mesh=mesh,
+                   in_specs=(specs_g, specs_f),
+                   out_specs=(specs_g, specs_f))
+    return fn(shard_pytree(grid, mesh), shard_pytree(forcing, mesh))
+
+
+def _dist_padded_step(state: State, pgrid: Grid, pforcing: Forcing,
+                      cfg: Config, w: int) -> State:
+    """Generic pad-run-crop distributed step (fb / split)."""
+    step = get_step(cfg)
+    ps = State(h=halo.pad2d(state.h, w), u=halo.pad2d(state.u, w),
+               v=halo.pad2d(state.v, w), t=state.t, n=state.n)
+    out = step(ps, pgrid, pforcing, cfg)
+    return State(h=halo.crop2d(out.h, w), u=halo.crop2d(out.u, w),
+                 v=halo.crop2d(out.v, w), t=out.t, n=out.n)
+
+
+def _cg_matvec(p, grid_p1: Grid, cfg: Config, lam: float):
+    """Distributed A p: 1-halo exchange, local laplacian, crop."""
+    Hu, Hv = elliptic.face_depths(grid_p1)
+    pp = halo.pad2d(p, 1)
+    q = elliptic.laplacian_H(pp, Hu, Hv, grid_p1, cfg, lam=lam)
+    return halo.crop2d(q, 1)
+
+
+def _dist_solve(b, grid_l: Grid, grid_p1: Grid, cfg: Config, lam=0.0,
+                x0=None):
+    _, inv_diag_p1 = elliptic.jacobi_diag(grid_p1, cfg, lam)
+    res = elliptic.cg_solve(
+        b, grid_l, cfg, x0=x0, lam=lam, dot=halo.dist_dot,
+        matvec=functools.partial(_cg_matvec, grid_p1=grid_p1, cfg=cfg,
+                                 lam=lam),
+        inv_diag=halo.crop2d(inv_diag_p1, 1))
+    return res.x
+
+
+def _dist_projection_step(state: State, pgrid: Grid, pforcing: Forcing,
+                          cfg: Config, w: int) -> State:
+    """Distributed rigid-lid / implicit-FS step (SURVEY.md §4.3).
+
+    Mirrors stepping/projection.py with explicit halo plumbing:
+    provisional momentum on the w-padded block, elliptic solve with
+    1-halo matvec + psum dots, correction and continuity on small pads.
+    """
+    dt = cfg.dt
+    grid_l = _crop_tree(pgrid, w)        # local unpadded statics
+    grid_p1 = _crop_tree(pgrid, w - 1)   # 1-halo statics for CG matvec
+    rigid = cfg.scheme == "rigid_lid"
+
+    # --- provisional momentum on the padded block ----------------------
+    ps = State(h=halo.pad2d(state.h, w), u=halo.pad2d(state.u, w),
+               v=halo.pad2d(state.v, w), t=state.t, n=state.n)
+    u_sp, v_sp = fb_mod.momentum_update(ps.h, ps, pgrid, pforcing, cfg,
+                                        free_surface=False)
+
+    # --- elliptic right-hand side (valid on the local block) -----------
+    Up, Vp = barotropic_transport(ps.h, u_sp, v_sp, pgrid)
+    divU_p = (ops.d_xm(Up, cfg.dx) + ops.d_ym(Vp, cfg.dy)) * pgrid.mask
+    divU = halo.crop2d(divU_p, w)
+
+    if rigid:
+        anom = (jnp.sum(state.h, axis=0) - grid_l.H) * grid_l.mask
+        anom = anom - grid_l.mask * (halo.dist_dot(anom, grid_l.mask)
+                                     / halo.dist_dot(grid_l.mask,
+                                                     grid_l.mask))
+        rhs = (divU - anom / dt) / dt
+        phi = _dist_solve(rhs, grid_l, grid_p1, cfg)
+        gfac = dt
+    else:
+        eta_n = (jnp.sum(state.h, axis=0) - grid_l.H) * grid_l.mask
+        lam = 1.0 / (cfg.g * dt * dt)
+        rhs = -lam * (eta_n - dt * divU)
+        phi = _dist_solve(rhs, grid_l, grid_p1, cfg, lam=lam, x0=eta_n)
+        gfac = cfg.g * dt
+
+    # --- barotropic correction (1-halo gradient) ------------------------
+    phi_p1 = halo.pad2d(phi, 1)
+    dphix = halo.crop2d(ops.d_xp(phi_p1, cfg.dx), 1) * grid_l.mask_u
+    dphiy = halo.crop2d(ops.d_yp(phi_p1, cfg.dy), 1) * grid_l.mask_v
+    u_s = halo.crop2d(u_sp, w)
+    v_s = halo.crop2d(v_sp, w)
+    u1 = (u_s - gfac * dphix[None]) * grid_l.mask_u
+    v1 = (v_s - gfac * dphiy[None]) * grid_l.mask_v
+
+    # --- layer continuity + finalize on a small pad ---------------------
+    w2 = 4
+    grid_w2 = _crop_tree(pgrid, w - w2)
+    forcing_w2 = _crop_tree(pforcing, w - w2)
+    hp = halo.pad2d(state.h, w2)
+    up = halo.pad2d(u1, w2)
+    vp = halo.pad2d(v1, w2)
+    dh = continuity.continuity_rhs(hp, up, vp, grid_w2, cfg)
+    h1p = (hp + dt * dh) * grid_w2.mask
+    outp = fb_mod.finalize(h1p, up, vp, state, grid_w2, forcing_w2, cfg)
+    return State(h=halo.crop2d(outp.h, w2), u=halo.crop2d(outp.u, w2),
+                 v=halo.crop2d(outp.v, w2), t=outp.t, n=outp.n)
+
+
+def make_dist_stepper(grid: Grid, forcing: Forcing, cfg: Config, mesh,
+                      n_inner: int = 1) -> Callable:
+    """Build jit(shard_map(step)) over mesh ('y', 'x').
+
+    Returns step_fn(state) -> state advancing n_inner steps per call
+    (lax.scan inside the shard_map, so halos ride ICI between scan
+    iterations without leaving the compiled program).
+    """
+    w = max(cfg.halo, required_halo(cfg))
+    ny_l = cfg.ny // mesh.shape["y"]
+    nx_l = cfg.nx // mesh.shape["x"]
+    if w > ny_l or w > nx_l:
+        raise ValueError(
+            f"halo {w} exceeds local block ({ny_l}, {nx_l}); use fewer "
+            "devices or a larger grid")
+    pgrid, pforcing = pad_statics(grid, forcing, cfg, mesh, w)
+
+    if cfg.scheme in ("rigid_lid", "implicit_fs"):
+        inner = functools.partial(_dist_projection_step, cfg=cfg, w=w)
+    else:
+        inner = functools.partial(_dist_padded_step, cfg=cfg, w=w)
+
+    state_specs = State(h=SPEC3, u=SPEC3, v=SPEC3, t=P(), n=P())
+    specs_g = jax.tree.map(spec_for, pgrid)
+    specs_f = jax.tree.map(spec_for, pforcing)
+
+    def shard_step(state, pg, pf):
+        def body(s, _):
+            return inner(s, pgrid=pg, pforcing=pf), None
+        state, _ = jax.lax.scan(body, state, None, length=n_inner)
+        return state
+
+    fn = shard_map(shard_step, mesh=mesh,
+                   in_specs=(state_specs, specs_g, specs_f),
+                   out_specs=state_specs)
+
+    @jax.jit
+    def step_fn(state):
+        return fn(state, pgrid, pforcing)
+
+    return step_fn

@@ -1,0 +1,110 @@
+"""Experiment driver (SURVEY.md §3 C17, §4.2 call stack).
+
+    cli/main -> load config -> build case -> chunked time loop:
+        state = jit(lax.scan(step))(state)       # one XLA program/chunk
+        diagnostics -> JSONL; NaN/CFL guard; snapshots at cadence
+
+The hot loop is a single compiled scan per chunk (device-resident); the
+host only sees a handful of diagnostic scalars per chunk plus any
+snapshot fields at cfg.snap_every.  On instability (non-finite state)
+the run aborts, keeping last_good.npz for restart (§6 failure
+detection / checkpoint-resume).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from typing import Optional
+
+import jax
+
+from beom_tpu.core.config import Config
+from beom_tpu.core.grid import Grid, Forcing
+from beom_tpu.core.state import State
+from beom_tpu.diag import diagnostics
+from beom_tpu.io import snapshots
+from beom_tpu.stepping import get_step
+
+
+class InstabilityError(RuntimeError):
+    pass
+
+
+def run(cfg: Config, grid: Grid, forcing: Forcing, state: State,
+        n_steps: int, run_dir: Optional[str] = None,
+        log=sys.stdout, chunk: Optional[int] = None) -> State:
+    """Advance `n_steps`, chunked for I/O; returns the final state.
+
+    chunk defaults to the diagnostics/snapshot cadence (or 100).
+    """
+    cadences = [c for c in (cfg.diag_every, cfg.snap_every) if c > 0]
+    if chunk is None:
+        chunk = min(cadences) if cadences else 100
+    step = get_step(cfg)
+
+    @jax.jit
+    def advance(s):
+        def body(s, _):
+            return step(s, grid, forcing, cfg), None
+        s, _ = jax.lax.scan(body, s, None, length=chunk)
+        return s
+
+    if run_dir:
+        os.makedirs(run_dir, exist_ok=True)
+        if resume := snapshots.latest_snapshot(run_dir):
+            state = snapshots.load_state(resume)
+            print(f"# resumed from {resume} at step {int(state.n)}",
+                  file=log)
+
+    done = 0
+    while done < n_steps:
+        state = advance(state)
+        done += chunk
+        d = {k: float(v) for k, v in
+             diagnostics(state, grid, cfg).items()}
+        if cfg.diag_every > 0:
+            print(json.dumps({"kind": "diag", **d}), file=log, flush=True)
+        if d["finite"] != 1.0:
+            raise InstabilityError(
+                f"non-finite state at step {int(d['n'])}"
+                + (f"; restart from {run_dir}/last_good.npz" if run_dir
+                   else ""))
+        if run_dir and cfg.snap_every > 0 and \
+                int(state.n) % cfg.snap_every < chunk:
+            snapshots.write_snapshot(run_dir, state)
+    if run_dir:
+        snapshots.write_snapshot(run_dir, state)
+    return state
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="beom-tpu", description="TPU-native layered shallow-water run")
+    p.add_argument("case", help="canonical case name or a config .toml")
+    p.add_argument("-n", "--steps", type=int, default=1000)
+    p.add_argument("-o", "--out", default=None, help="run directory")
+    p.add_argument("--set", action="append", default=[], metavar="K=V",
+                   help="Config override (repeatable)")
+    args = p.parse_args(argv)
+
+    from beom_tpu.io import config as ioconfig
+    if args.case.endswith(".toml"):
+        cfg = ioconfig.load_toml(args.case, args.set)
+        from beom_tpu.cases import double_gyre  # default geometry host
+        raise SystemExit(
+            "TOML runs need a case geometry; use [case] in the TOML")
+    from beom_tpu.cases import make_case
+    over = dict(kv.split("=", 1) for kv in args.set)
+    cfg, grid, forcing, state = make_case(args.case)
+    if over:
+        import dataclasses
+        cfg = ioconfig.apply_overrides(cfg, args.set)
+    run(cfg, grid, forcing, state, args.steps, run_dir=args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,49 @@
+"""Time-stepping schemes (SURVEY.md §1.3, components C12-C14).
+
+`get_step(cfg)` dispatches cfg.scheme to the step function; all schemes
+share the signature step(state, grid, forcing, cfg) -> state and are
+pure/jittable.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from beom_tpu.core.config import Config
+
+
+def get_step(cfg: Config):
+    if cfg.scheme == "fb":
+        from beom_tpu.stepping.fb import fb_step
+        return fb_step
+    if cfg.scheme == "split":
+        from beom_tpu.stepping.split import split_step
+        return split_step
+    if cfg.scheme == "rigid_lid":
+        from beom_tpu.stepping.projection import rigid_lid_step
+        return rigid_lid_step
+    if cfg.scheme == "implicit_fs":
+        from beom_tpu.stepping.projection import implicit_fs_step
+        return implicit_fs_step
+    raise ValueError(f"unknown scheme {cfg.scheme!r}")
+
+
+def make_stepper(grid, forcing, cfg: Config):
+    """Jitted step(state) -> state for cfg.scheme, closing over statics."""
+    step = get_step(cfg)
+
+    def stepper(state):
+        return step(state, grid, forcing, cfg)
+
+    return jax.jit(stepper)
+
+
+def run_steps(state, grid, forcing, cfg: Config, n_steps: int):
+    """Advance n_steps of cfg.scheme inside one XLA program (lax.scan)."""
+    step = get_step(cfg)
+
+    def body(s, _):
+        return step(s, grid, forcing, cfg), None
+
+    state, _ = jax.lax.scan(body, state, None, length=n_steps)
+    return state
