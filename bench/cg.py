@@ -1,0 +1,61 @@
+"""Elliptic-solver throughput (BASELINE.md metric 3): CG iterations/s
+and red-black sweeps/s on the rigid-lid operator.
+
+    python bench/cg.py [nx] [ny] [iters]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv):
+    nx = int(argv[1]) if len(argv) > 1 else 2048
+    ny = int(argv[2]) if len(argv) > 2 else nx
+    iters = int(argv[3]) if len(argv) > 3 else 200
+
+    from beom_tpu.cases import make_case
+    from beom_tpu.solvers import elliptic
+
+    cfg, grid, forcing, state = make_case(
+        "rigid_lid", nx=nx, ny=ny, solver_maxiter=iters, solver_tol=0.0)
+
+    rng = np.random.default_rng(0)
+    b = rng.normal(size=(ny, nx)).astype(cfg.npdtype)
+    b -= b.mean()
+    b = jnp.asarray(b) * grid.mask
+
+    # --- CG: fixed iteration count (tol=0 -> runs to maxiter) ---------
+    solve = jax.jit(lambda b: elliptic.cg_solve(b, grid, cfg))
+    r = solve(b)
+    jax.block_until_ready(r.x)
+    t0 = time.perf_counter()
+    r = solve(b)
+    jax.block_until_ready(r.x)
+    dt = time.perf_counter() - t0
+    print(json.dumps({"solver": "cg", "nx": nx, "ny": ny,
+                      "iters_per_s": round(int(r.iters) / dt, 2),
+                      "point_iters_per_s": round(nx * ny * int(r.iters) / dt, 1)}))
+
+    # --- red-black: fixed sweeps --------------------------------------
+    rb = jax.jit(lambda b: elliptic.redblack_solve(b, grid, cfg,
+                                                   sweeps=iters))
+    x = rb(b)
+    jax.block_until_ready(x)
+    t0 = time.perf_counter()
+    x = rb(b)
+    jax.block_until_ready(x)
+    dt = time.perf_counter() - t0
+    print(json.dumps({"solver": "redblack", "nx": nx, "ny": ny,
+                      "sweeps_per_s": round(iters / dt, 2),
+                      "point_sweeps_per_s": round(nx * ny * iters / dt, 1)}))
+
+
+if __name__ == "__main__":
+    main(sys.argv)

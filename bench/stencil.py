@@ -1,0 +1,80 @@
+"""Per-config stencil throughput (BASELINE.md metric 1-2).
+
+Prints one JSON line per run: grid-points/s/chip for a chunked
+lax.scan of the config's step on the attached device, for both the
+op-by-op XLA path and (where supported) the fused Pallas kernel.
+
+    python bench/stencil.py [case] [nx] [ny] [steps]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+
+def measure(step, state, n_steps: int, inner: int = 100):
+    """Time `n_steps` of jitted `step` advancing `inner` per call."""
+    from beom_tpu.core.state import State
+
+    @jax.jit
+    def chunk(s):
+        def body(s, _):
+            return step(s), None
+        s, _ = jax.lax.scan(body, s, None, length=inner)
+        return s
+
+    s = chunk(state)                         # compile + warm
+    jax.block_until_ready(s.h)
+    t0 = time.perf_counter()
+    done = 0
+    while done < n_steps:
+        s = chunk(s)
+        done += inner
+    jax.block_until_ready(s.h)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(np.asarray(s.h)).all()
+    return done / dt
+
+
+def bench_case(case="double_gyre", nx=2048, ny=2048, n_steps=300, **kw):
+    from beom_tpu.cases import make_case
+    from beom_tpu.stepping import get_step
+
+    out = []
+    cfg, grid, forcing, state = make_case(case, nx=nx, ny=ny, **kw)
+    step = get_step(cfg)
+    sps = measure(lambda s: step(s, grid, forcing, cfg), state, n_steps)
+    out.append({"case": case, "backend": "xla", "nx": nx, "ny": ny,
+                "points_per_s": round(nx * ny * sps, 1),
+                "steps_per_s": round(sps, 2)})
+
+    if cfg.scheme == "fb" and not (cfg.obc or cfg.sponge or cfg.tides):
+        try:
+            from beom_tpu.stencils.fused_fb import make_pallas_stepper
+            pstep = make_pallas_stepper(grid, forcing, cfg)
+            sps = measure(lambda s: pstep(s), state, n_steps)
+            out.append({"case": case, "backend": "pallas", "nx": nx,
+                        "ny": ny, "points_per_s": round(nx * ny * sps, 1),
+                        "steps_per_s": round(sps, 2)})
+        except Exception as e:        # pallas path is best-effort
+            out.append({"case": case, "backend": "pallas",
+                        "error": f"{type(e).__name__}: {e}"})
+    return out
+
+
+def main(argv):
+    case = argv[1] if len(argv) > 1 else "double_gyre"
+    nx = int(argv[2]) if len(argv) > 2 else 2048
+    ny = int(argv[3]) if len(argv) > 3 else nx
+    n = int(argv[4]) if len(argv) > 4 else 300
+    for row in bench_case(case, nx=nx, ny=ny, n_steps=n):
+        print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main(sys.argv)

@@ -64,13 +64,22 @@ def latest_snapshot(run_dir) -> Optional[str]:
     return os.path.join(run_dir, snaps[-1]) if snaps else None
 
 
-def save_raw(path, state: State, cfg: Config) -> None:
+def save_raw(path, state: State, cfg: Config, writer=None) -> None:
     """Reference-style headerless binary: h,u,v concatenated, native
-    float32/float64 per cfg.dtype, C order (k, j, i)."""
+    float32/float64 per cfg.dtype, C order (k, j, i).
+
+    Pass an io.native.AsyncWriter as `writer` to hand the buffer to the
+    background C++ writer thread (native/snapwriter.cpp) instead of
+    blocking the driver on disk I/O.
+    """
     dt = cfg.npdtype
+    buf = np.concatenate([np.asarray(a, dt).ravel()
+                          for a in (state.h, state.u, state.v)])
+    if writer is not None:
+        writer.submit(os.fspath(path), buf)
+        return
     with open(path, "wb") as f:
-        for a in (state.h, state.u, state.v):
-            np.asarray(a, dt).tofile(f)
+        buf.tofile(f)
 
 
 def load_raw(path, cfg: Config) -> State:

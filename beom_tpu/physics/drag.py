@@ -42,8 +42,11 @@ def bottom_drag_coeff(h, u, v, grid: Grid, cfg: Config):
     cu_b = (cfg.r_bot + cfg.cd_bot * _speed_u(ub, vb)) / hu
     cv_b = (cfg.r_bot + cfg.cd_bot * _speed_v(ub, vb)) / hv
     # concatenate instead of .at[-1].set: identical result, and it keeps
-    # the layer axis free of scatter ops, which Pallas/Mosaic can't
-    # lower (stencils/fused_fb.py traces this inside the TPU kernel)
+    # the layer axis free of scatter ops (and of zero-sized operands),
+    # neither of which Pallas/Mosaic can lower (stencils/fused_fb.py
+    # traces this inside the TPU kernel)
+    if cfg.nz == 1:
+        return cu_b[None], cv_b[None]
     zs = jnp.zeros((cfg.nz - 1,) + cu_b.shape, cu_b.dtype)
     cu = jnp.concatenate([zs, cu_b[None]], axis=0)
     cv = jnp.concatenate([zs, cv_b[None]], axis=0)
@@ -59,6 +62,8 @@ def wind(h, grid: Grid, forcing: Forcing, cfg: Config):
     hv = jnp.maximum(ops.a_yp(h[0]), cfg.h_min)
     du0 = grid.mask_u * forcing.taux / (cfg.rho0 * hu)
     dv0 = grid.mask_v * forcing.tauy / (cfg.rho0 * hv)
+    if cfg.nz == 1:
+        return du0[None], dv0[None]
     zs = jnp.zeros((cfg.nz - 1,) + du0.shape, du0.dtype)
     du = jnp.concatenate([du0[None], zs], axis=0)
     dv = jnp.concatenate([dv0[None], zs], axis=0)
