@@ -38,7 +38,8 @@ class Oracle:
     """Double-precision reference integrator for the layered SW core."""
 
     def __init__(self, cfg: Config, H, mask=None, taux=None, tauy=None,
-                 sponge=None, h_ext=None):
+                 sponge=None, h_ext=None, obc_u=None, obc_v=None,
+                 obc_h=None, tide_amp=None, tide_phase=None):
         self.cfg = cfg
         ny, nx = cfg.ny, cfg.nx
         self.H = np.asarray(H, F)
@@ -59,6 +60,12 @@ class Oracle:
         self.tauy = np.zeros((ny, nx), F) if tauy is None else np.asarray(tauy, F)
         self.sponge = None if sponge is None else np.asarray(sponge, F)
         self.h_ext = None if h_ext is None else np.asarray(h_ext, F)
+        self.obc_u = None if obc_u is None else np.asarray(obc_u, F)
+        self.obc_v = None if obc_v is None else np.asarray(obc_v, F)
+        self.obc_h = None if obc_h is None else np.asarray(obc_h, F)
+        self.tide_amp = None if tide_amp is None else np.asarray(tide_amp, F)
+        self.tide_phase = (None if tide_phase is None
+                           else np.asarray(tide_phase, F))
         self.gp = np.asarray(cfg.gprime, F)
         # match core/ops.py exactly: differences multiply by 1/dx, so the
         # oracle is bit-comparable op-for-op in f64
@@ -67,8 +74,11 @@ class Oracle:
 
     # ---- operators (independent of core/ops.py) -----------------------
 
-    def montgomery(self, h):
-        eta = h.sum(0) - self.H
+    def montgomery(self, h, free_surface=True):
+        if free_surface:
+            eta = h.sum(0) - self.H
+        else:
+            eta = np.zeros_like(self.H)   # rigid lid: surface term solved
         M = np.empty_like(h)
         acc = self.gp[0] * eta
         M[0] = acc
@@ -119,6 +129,53 @@ class Oracle:
             Fy = Fy * np.where(Fy > 0, scale, _yp(scale))
         return Fx, Fy
 
+    # ---- open boundaries (mirror of physics/obc.py) --------------------
+
+    def eta_ext(self, t):
+        c = self.cfg
+        out = np.zeros_like(self.H)
+        if self.tide_amp is not None:
+            for ci, omega in enumerate(c.tides):
+                out += self.tide_amp[ci] * np.cos(
+                    omega * t - self.tide_phase[ci])
+        return out
+
+    def clamp(self, h, t):
+        if not self.cfg.obc or self.obc_h is None:
+            return h
+        tgt = self.h_ext.copy()
+        tgt[0] += self.eta_ext(t)
+        return np.where(self.obc_h[None] > 0, tgt, h)
+
+    def flather(self, h, u, v, t):
+        c = self.cfg
+        if not c.obc:
+            return u, v
+        eta = h.sum(0) - self.H
+        e_ext = self.eta_ext(t)
+        hsum = np.maximum(h.sum(0), c.h_min)
+        hu = np.maximum(0.5 * (h + _xp(h)), c.h_min)
+        hv = np.maximum(0.5 * (h + _yp(h)), c.h_min)
+        ubar = (hu * u).sum(0) / hu.sum(0)
+        vbar = (hv * v).sum(0) / hv.sum(0)
+        Hu = np.maximum(0.5 * (hsum + _xp(hsum)), c.h_min)
+        Hv = np.maximum(0.5 * (hsum + _yp(hsum)), c.h_min)
+        cu = np.sqrt(c.g / Hu)
+        cv = np.sqrt(c.g / Hv)
+        den_u = np.maximum(self.m + _xp(self.m), 1.0)
+        den_v = np.maximum(self.m + _yp(self.m), 1.0)
+        eta_u = (eta * self.m + _xp(eta * self.m)) / den_u
+        eta_v = (eta * self.m + _yp(eta * self.m)) / den_v
+        eext_u = 0.5 * (e_ext + _xp(e_ext))
+        eext_v = 0.5 * (e_ext + _yp(e_ext))
+        ou = np.zeros_like(eta) if self.obc_u is None else self.obc_u
+        ov = np.zeros_like(eta) if self.obc_v is None else self.obc_v
+        u_tgt = ou * cu * (eta_u - eext_u)
+        v_tgt = ov * cv * (eta_v - eext_v)
+        u = u + np.abs(ou) * (u_tgt - ubar)[None]
+        v = v + np.abs(ov) * (v_tgt - vbar)[None]
+        return u, v
+
     # ---- one FB step ---------------------------------------------------
 
     def step(self, h, u, v, n, t):
@@ -130,8 +187,27 @@ class Oracle:
         if self.sponge is not None:
             dh = dh + self.sponge * (self.h_ext - h)
         h1 = (h + dt * dh) * self.m
+        h1 = self.clamp(h1, t + dt)
 
-        M = self.montgomery(h1)
+        u1, v1 = self.momentum(h1, u, v, n)
+
+        if c.wetdry:
+            wet = ((h1 > c.h_dry).astype(F)) * self.m
+            for w, mw, sh in ((u1, self.mu, _xp), (v1, self.mv, _yp)):
+                wl, wr = wet, sh(wet)
+                gated = wl * wr * w + wl * (1 - wr) * np.maximum(w, 0) \
+                    + wr * (1 - wl) * np.minimum(w, 0)
+                w[:] = mw * gated
+
+        u1, v1 = self.flather(h1, u1, v1, t + dt)
+        return h1, u1, v1, n + 1, t + dt
+
+    # ---- momentum update (shared by FB and projection stepping) --------
+
+    def momentum(self, h1, u, v, n, free_surface=True):
+        c = self.cfg
+        dt = c.dt
+        M = self.montgomery(h1, free_surface=free_surface)
         linear = c.adv_scheme == "linear"
         if linear:
             phi = M
@@ -215,22 +291,76 @@ class Oracle:
             v1 = upd_v(u, U)
             V1 = v1 if linear else 0.5 * (h1 + _yp(h1)) * v1
             u1 = upd_u(v1, V1)
+        return u1, v1
 
-        if c.wetdry:
-            wet = ((h1 > c.h_dry).astype(F)) * self.m
-            for w, mw, sh in ((u1, self.mu, _xp), (v1, self.mv, _yp)):
-                wl, wr = wet, sh(wet)
-                gated = wl * wr * w + wl * (1 - wr) * np.maximum(w, 0) \
-                    + wr * (1 - wl) * np.minimum(w, 0)
-                w[:] = mw * gated
+    # ---- rigid-lid projection stepping (mirror of
+    # stepping/projection.py rigid_lid_step) ----------------------------
 
+    def solve_neumann(self, b, tol=1e-13, maxiter=5000):
+        """Plain CG on div(H_face grad p) = b with wet-constant
+        deflation; independent of solvers/elliptic.py."""
+        c = self.cfg
+        Hu = self.mu * 0.5 * (self.H + _xp(self.H))
+        Hv = self.mv * 0.5 * (self.H + _yp(self.H))
+        rdx2, rdy2 = self.rdx ** 2, self.rdy ** 2
+
+        def A(p):
+            gx = Hu * (_xp(p) - p) * self.rdx
+            gy = Hv * (_yp(p) - p) * self.rdy
+            return ((gx - _xm(gx)) * self.rdx
+                    + (gy - _ym(gy)) * self.rdy) * self.m
+
+        nwet = self.m.sum()
+
+        def deflate(x):
+            return (x - self.m * (x * self.m).sum() / nwet) * self.m
+
+        b = deflate(b)
+        x = np.zeros_like(b)
+        r = deflate(b - A(x))
+        p = r.copy()
+        rr = (r * r).sum()
+        b2 = max((b * b).sum(), 1e-300)
+        for _ in range(maxiter):
+            if rr <= tol * tol * b2:
+                break
+            q = A(p)
+            alpha = rr / (p * q).sum()
+            x += alpha * p
+            r = deflate(r - alpha * q)
+            rr_new = (r * r).sum()
+            p = r + (rr_new / rr) * p
+            rr = rr_new
+        return x
+
+    def step_rigid(self, h, u, v, n, t):
+        c = self.cfg
+        dt = c.dt
+        us, vs = self.momentum(h, u, v, n, free_surface=False)
+
+        U = (0.5 * (h + _xp(h)) * us).sum(0) * self.mu
+        V = (0.5 * (h + _yp(h)) * vs).sum(0) * self.mv
+        div = ((U - _xm(U)) * self.rdx + (V - _ym(V)) * self.rdy) * self.m
+        anom = (h.sum(0) - self.H) * self.m
+        anom = anom - self.m * (anom * self.m).sum() / self.m.sum()
+        phi = self.solve_neumann((div - anom / dt) / dt)
+
+        u1 = (us - dt * ((_xp(phi) - phi) * self.rdx)[None]) * self.mu
+        v1 = (vs - dt * ((_yp(phi) - phi) * self.rdy)[None]) * self.mv
+
+        Fx, Fy = self.fluxes(h, u1, v1)
+        dh = -((Fx - _xm(Fx)) * self.rdx
+               + (Fy - _ym(Fy)) * self.rdy) * self.m
+        h1 = (h + dt * dh) * self.m
         return h1, u1, v1, n + 1, t + dt
 
     def run(self, h, u, v, n_steps, n0=0, t0=0.0):
+        step = (self.step_rigid if self.cfg.scheme == "rigid_lid"
+                else self.step)
         h = np.asarray(h, F).copy()
         u = np.asarray(u, F).copy()
         v = np.asarray(v, F).copy()
         n, t = n0, t0
         for _ in range(n_steps):
-            h, u, v, n, t = self.step(h, u, v, n, t)
+            h, u, v, n, t = step(h, u, v, n, t)
         return h, u, v
