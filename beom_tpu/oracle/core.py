@@ -211,7 +211,7 @@ class Oracle:
         linear = c.adv_scheme == "linear"
         if linear:
             phi = M
-            q = np.broadcast_to(self.f_q, h.shape).copy()
+            q = np.broadcast_to(self.f_q, h1.shape).copy()
             U, V = u.copy(), v.copy()
         else:
             ke = 0.5 * (0.5 * (u * u + _xm(u * u))

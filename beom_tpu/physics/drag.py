@@ -36,9 +36,10 @@ def bottom_drag_coeff(h, u, v, grid: Grid, cfg: Config):
     if cfg.r_bot == 0.0 and cfg.cd_bot == 0.0:
         z = jnp.zeros_like(u)
         return z, z
-    ub, vb = u[-1], v[-1]
-    hu = jnp.maximum(ops.a_xp(h[-1]), cfg.h_min)
-    hv = jnp.maximum(ops.a_yp(h[-1]), cfg.h_min)
+    kb = cfg.nz - 1      # positive index: h[-1] would emit a
+    ub, vb = u[kb], v[kb]   # dynamic_slice, which Mosaic can't lower
+    hu = jnp.maximum(ops.a_xp(h[kb]), cfg.h_min)
+    hv = jnp.maximum(ops.a_yp(h[kb]), cfg.h_min)
     cu_b = (cfg.r_bot + cfg.cd_bot * _speed_u(ub, vb)) / hu
     cv_b = (cfg.r_bot + cfg.cd_bot * _speed_v(ub, vb)) / hv
     # concatenate instead of .at[-1].set: identical result, and it keeps

@@ -29,7 +29,15 @@ def get_step(cfg: Config):
 
 
 def make_stepper(grid, forcing, cfg: Config):
-    """Jitted step(state) -> state for cfg.scheme, closing over statics."""
+    """Jitted step(state) -> state for cfg.scheme, closing over statics.
+
+    cfg.backend='pallas' routes the fb scheme through the fused TPU
+    stencil kernel (stencils/fused_fb.py); all other schemes/backends
+    take the op-by-op XLA path.
+    """
+    if cfg.backend == "pallas":
+        from beom_tpu.stencils.fused_fb import make_pallas_stepper
+        return make_pallas_stepper(grid, forcing, cfg)
     step = get_step(cfg)
 
     def stepper(state):

@@ -35,6 +35,7 @@ struct Writer {
     size_t max_queued_bytes;
     size_t queued_bytes = 0;
     bool shutdown = false;
+    bool busy = false;      // a popped job is still being written
     long errors = 0;
 
     explicit Writer(size_t max_bytes) : max_queued_bytes(max_bytes) {
@@ -54,15 +55,22 @@ struct Writer {
                 job = std::move(queue.front());
                 queue.pop_front();
                 queued_bytes -= job.data.size();
+                busy = true;       // flush() must wait for this write
                 cv.notify_all();   // wake any producer blocked on space
             }
             FILE* f = std::fopen(job.path.c_str(), "wb");
-            if (!f) { std::lock_guard<std::mutex> lk(mu); ++errors; continue; }
-            size_t n = std::fwrite(job.data.data(), 1, job.data.size(), f);
-            if (std::fclose(f) != 0 || n != job.data.size()) {
-                std::lock_guard<std::mutex> lk(mu);
-                ++errors;
+            bool ok = false;
+            if (f) {
+                size_t n = std::fwrite(job.data.data(), 1,
+                                       job.data.size(), f);
+                ok = (std::fclose(f) == 0) && (n == job.data.size());
             }
+            {
+                std::lock_guard<std::mutex> lk(mu);
+                if (!ok) ++errors;
+                busy = false;
+            }
+            cv.notify_all();
         }
     }
 
@@ -84,7 +92,7 @@ struct Writer {
 
     void flush() {
         std::unique_lock<std::mutex> lk(mu);
-        cv.wait(lk, [this] { return queue.empty(); });
+        cv.wait(lk, [this] { return queue.empty() && !busy; });
     }
 
     ~Writer() {
