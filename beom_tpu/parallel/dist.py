@@ -106,8 +106,60 @@ def _cg_matvec(p, grid_p1: Grid, cfg: Config, lam: float):
     return halo.crop2d(q, 1)
 
 
+def _dist_redblack(b, grid_l: Grid, grid_p1: Grid, cfg: Config, lam=0.0,
+                   x0=None):
+    """Red-black SOR with a 1-halo exchange per half-sweep — no global
+    reductions at all, the preferred variant at large mesh scale
+    (SURVEY.md §4.3).  The checkerboard colouring must be *global*:
+    each shard offsets its local iota by its mesh coordinates."""
+    import jax
+
+    Hu, Hv = elliptic.face_depths(grid_p1)
+    rdx2, rdy2 = 1.0 / cfg.dx ** 2, 1.0 / cfg.dy ** 2
+    diag = -((Hu + ops.sxm(Hu)) * rdx2 + (Hv + ops.sym(Hv)) * rdy2) - lam
+    inv_diag = jnp.where(diag != 0,
+                         1.0 / jnp.where(diag == 0, 1.0, diag), 0.0)
+    inv_diag = halo.crop2d(inv_diag, 1)
+    omega = cfg.sor_omega
+
+    ny_l, nx_l = b.shape[-2:]
+    oy = jax.lax.axis_index("y") * ny_l
+    ox = jax.lax.axis_index("x") * nx_l
+    jj = jax.lax.broadcasted_iota(jnp.int32, b.shape, b.ndim - 2) + oy
+    ii = jax.lax.broadcasted_iota(jnp.int32, b.shape, b.ndim - 1) + ox
+    red = (((ii + jj) % 2) == 0).astype(b.dtype) * grid_l.mask
+    black = (1.0 - (((ii + jj) % 2) == 0).astype(b.dtype)) * grid_l.mask
+
+    Hu_l = halo.crop2d(Hu, 1)
+    Hv_l = halo.crop2d(Hv, 1)
+    Hu_w = halo.crop2d(ops.sxm(Hu), 1)   # west-face H at local cells
+    Hv_s = halo.crop2d(ops.sym(Hv), 1)
+
+    b = b * grid_l.mask
+    x = jnp.zeros_like(b) if x0 is None else x0 * grid_l.mask
+
+    def halfsweep(x, colour):
+        xp = halo.pad2d(x, 1)
+        nb = (Hu_l * halo.crop2d(ops.sxp(xp), 1)
+              + Hu_w * halo.crop2d(ops.sxm(xp), 1)) * rdx2 \
+           + (Hv_l * halo.crop2d(ops.syp(xp), 1)
+              + Hv_s * halo.crop2d(ops.sym(xp), 1)) * rdy2
+        x_gs = (b - nb) * inv_diag
+        return jnp.where(colour > 0,
+                         (1.0 - omega) * x + omega * x_gs,
+                         x) * grid_l.mask
+
+    def sweep(k, x):
+        x = halfsweep(x, red)
+        return halfsweep(x, black)
+
+    return jax.lax.fori_loop(0, cfg.solver_maxiter, sweep, x)
+
+
 def _dist_solve(b, grid_l: Grid, grid_p1: Grid, cfg: Config, lam=0.0,
                 x0=None):
+    if cfg.solver == "redblack":
+        return _dist_redblack(b, grid_l, grid_p1, cfg, lam=lam, x0=x0)
     _, inv_diag_p1 = elliptic.jacobi_diag(grid_p1, cfg, lam)
     res = elliptic.cg_solve(
         b, grid_l, cfg, x0=x0, lam=lam, dot=halo.dist_dot,

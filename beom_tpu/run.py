@@ -42,14 +42,33 @@ def run(cfg: Config, grid: Grid, forcing: Forcing, state: State,
     cadences = [c for c in (cfg.diag_every, cfg.snap_every) if c > 0]
     if chunk is None:
         chunk = min(cadences) if cadences else 100
-    step = get_step(cfg)
 
-    @jax.jit
-    def advance(s):
-        def body(s, _):
-            return step(s, grid, forcing, cfg), None
-        s, _ = jax.lax.scan(body, s, None, length=chunk)
-        return s
+    if cfg.mesh_x * cfg.mesh_y > 1:
+        from beom_tpu.parallel.dist import make_dist_stepper
+        from beom_tpu.parallel.mesh import make_mesh, shard_state
+        mesh = make_mesh(cfg.mesh_y, cfg.mesh_x)
+        advance = make_dist_stepper(grid, forcing, cfg, mesh,
+                                    n_inner=chunk)
+        state = shard_state(state, mesh)
+    elif cfg.backend == "pallas":
+        from beom_tpu.stepping import make_stepper
+        pstep = make_stepper(grid, forcing, cfg)
+
+        @jax.jit
+        def advance(s):
+            def body(s, _):
+                return pstep(s), None
+            s, _ = jax.lax.scan(body, s, None, length=chunk)
+            return s
+    else:
+        step = get_step(cfg)
+
+        @jax.jit
+        def advance(s):
+            def body(s, _):
+                return step(s, grid, forcing, cfg), None
+            s, _ = jax.lax.scan(body, s, None, length=chunk)
+            return s
 
     if run_dir:
         os.makedirs(run_dir, exist_ok=True)

@@ -122,7 +122,8 @@ def _choose_tile(n: int, target: int, mult: int) -> int:
 def make_pallas_stepper(grid: Grid, forcing: Forcing, cfg: Config,
                         by: Optional[int] = None,
                         bx: Optional[int] = None,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        vmem_limit_bytes: int = 64 * 1024 * 1024):
     """Returns step(state) -> state running the fused kernel.
 
     Restrictions (asserted): fb scheme; no sponge/OBC/tides (their
@@ -164,6 +165,10 @@ def make_pallas_stepper(grid: Grid, forcing: Forcing, cfg: Config,
         out_shape=tuple(jax.ShapeDtypeStruct((nz, ny, nx), dt)
                         for _ in range(3)),
         scratch_shapes=bufs3 + bufs2 + [pltpu.SemaphoreType.DMA((11,))],
+        # the traced step holds ~30 live window-sized temporaries; the
+        # default 16 MiB scoped-VMEM limit is conservative on v5e
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes),
         interpret=interpret,
     )
 

@@ -67,6 +67,13 @@ def test_implicit_fs():
     _compare("double_gyre", nx=64, ny=64, scheme="implicit_fs", atol=1e-8)
 
 
+def test_rigid_lid_distributed_redblack():
+    # red-black: identical sweep count and global checkerboard on both
+    # paths -> tight equivalence, no global reductions involved
+    _compare("rigid_lid", nx=64, ny=64, atol=1e-10, solver="redblack",
+             solver_maxiter=150)
+
+
 def test_mesh_1xN_and_Nx1():
     _compare("double_gyre", nx=64, ny=64, mesh_shape=(1, 8))
     _compare("double_gyre", nx=64, ny=64, mesh_shape=(8, 1))
