@@ -1,21 +1,28 @@
 """Fused forward-backward step as a single Pallas TPU kernel
 (SURVEY.md §3 C23, §4.4 — the native performance tier).
 
-One HBM pass per step: the grid is tiled into (by, bx) VMEM blocks; each
-kernel instance DMAs its halo-padded window of every field from HBM,
-traces the *identical* physics code of stepping/fb.py on the VMEM tiles
-(same trick as the distributed path — a periodic roll on a padded tile
-equals the global roll for all interior cells), and writes back only the
-interior.  Single source of truth: any fix to physics/ is picked up by
-the XLA path, the shard_map path and this kernel alike; parity is pinned
-by tests/unit/test_pallas.py.
+One HBM pass per step.  The grid is tiled into full-width row bands:
+each kernel instance owns rows [i*by, (i+1)*by) at full nx width, so
 
-Traffic per point per step (f32, nz=1): read h,u,v + statics, write
-h,u,v ≈ 60-80 B — versus the measured ~440 B of the op-by-op XLA path.
+  * x-direction rolls inside the kernel ARE the global periodic wrap —
+    no x halo, no alignment padding, no redundant x compute;
+  * only a y halo (HALO_Y rows) is needed, DMA'd straight from the
+    *unpadded* HBM arrays with wrap handled by split copies at the
+    first/last band — there is no XLA pre-pad pass at all;
+  * mask_u/mask_v/mask_q and the beta-plane f_q are derived in-kernel
+    from the centre mask and the row index (exactly the make_grid
+    formulas), halving static-field traffic.
 
-The prognostic fields are wrap-padded by the stencil radius W in XLA
-before the kernel (one fused pad copy); static fields are padded once
-at stepper construction.
+The tile then runs the *identical* physics of stepping/fb.py (same
+trick as the distributed path: a periodic roll on a y-padded band
+equals the global roll for all interior rows).  Single source of truth
+— physics fixes propagate to the XLA path, the shard_map path and this
+kernel alike; parity is pinned by tests/unit/test_pallas.py (interpret
+mode) and the on-hardware bitwise check in the verify flow.
+
+Traffic per point per step (f32, nz=1, by=128):
+  read (h,u,v,H,mask,taux,tauy) * (1 + 2*24/128) + write (h,u,v)
+  = 7 * 1.375 + 3 = 12.6 words = 50 B  ->  bound ~16 G pts/s on v5e.
 """
 
 from __future__ import annotations
@@ -25,148 +32,170 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from beom_tpu.core.config import Config
 from beom_tpu.core.grid import Grid, Forcing
 from beom_tpu.core.state import State
+from beom_tpu.core import ops
 from beom_tpu.stepping import fb as fb_mod
 
 # Stencil radius of one fb_step is <= 17 incl. wet/dry gating (see
-# parallel/dist.required_halo).  Mosaic constrains HBM window slices to
-# the (8, 128) f32 tiling: the y halo must keep (by + 2*wy) a multiple
-# of 8 and the x halo must keep (bx + 2*wx) a multiple of 128 with
-# 128-aligned offsets — so the halos are asymmetric: 24 rows, 64 lanes.
+# parallel/dist.required_halo); 24 keeps the window row count a
+# multiple of 8 (f32 sublane tiling).
 HALO_Y = 24
-HALO_X = 64
 
 
-def _pad_wrap(a, wy, wx):
-    """Periodic pad of the trailing (y, x) axes."""
-    pad = [(0, 0)] * (a.ndim - 2) + [(wy, wy), (wx, wx)]
-    return jnp.pad(a, pad, mode="wrap")
-
-
-def pad_statics(grid: Grid, forcing: Forcing, wy: int = HALO_Y,
-                wx: int = HALO_X):
-    pg = jax.tree.map(lambda a: _pad_wrap(a, wy, wx), grid)
-    pf = jax.tree.map(lambda a: _pad_wrap(a, wy, wx), forcing)
-    return pg, pf
-
-
-def _tile_kernel(scal_ref,                 # SMEM: [n, t] as f32
-                 h_ref, u_ref, v_ref,      # ANY (HBM): padded prognostics
-                 H_ref, m_ref, mu_ref, mv_ref, mq_ref, fq_ref,
-                 tx_ref, ty_ref,           # ANY: padded statics
-                 ho_ref, uo_ref, vo_ref,   # VMEM out tiles (by, bx)
-                 *scratch, cfg: Config, by: int, bx: int, wy: int,
-                 wx: int):
-    """One (by, bx) tile of the fused step; scratch = 11 VMEM windows +
-    a DMA semaphore array."""
+def _band_kernel(scal_ref,                  # SMEM [n, t] as f32
+                 h_ref, u_ref, v_ref,       # ANY: (nz, ny, nx) unpadded
+                 H_ref, m_ref, tx_ref, ty_ref,   # ANY: (ny, nx) statics
+                 ho_ref, uo_ref, vo_ref,    # VMEM out (nz, by, nx)
+                 *scratch, cfg: Config, by: int, wy: int):
     nz = cfg.nz
+    ny, nx = cfg.ny, cfg.nx
     i = pl.program_id(0)
-    j = pl.program_id(1)
+    nbands = pl.num_programs(0)
     sems = scratch[-1]
     bufs = scratch[:-1]
-    ins = (h_ref, u_ref, v_ref, H_ref, m_ref, mu_ref, mv_ref, mq_ref,
-           fq_ref, tx_ref, ty_ref)
+    ins = (h_ref, u_ref, v_ref, H_ref, m_ref, tx_ref, ty_ref)
+    rows = by + 2 * wy
 
-    def window(ref):
-        ys = pl.ds(i * by, by + 2 * wy)
-        xs = pl.ds(pl.multiple_of(j * bx, 128), bx + 2 * wx)
-        return ref.at[:, ys, xs] if len(ref.shape) == 3 else ref.at[ys, xs]
+    def dma_band(k, ref, buf):
+        """Fill buf with rows [i*by - wy, i*by + by + wy) of ref,
+        wrapping periodically at the first/last band."""
+        def seg(ref_rows, buf_rows, sem):
+            if len(ref.shape) == 3:
+                src = ref.at[:, ref_rows, :]
+                dst = buf.at[:, buf_rows, :]
+            else:
+                src = ref.at[ref_rows, :]
+                dst = buf.at[buf_rows, :]
+            cp = pltpu.make_async_copy(src, dst, sem)
+            cp.start()
+            return cp
 
-    copies = [pltpu.make_async_copy(window(r), b, sems.at[k])
-              for k, (r, b) in enumerate(zip(ins, bufs))]
-    for c in copies:
-        c.start()
-    for c in copies:
-        c.wait()
+        def al(off):     # by and wy are multiples of 8, so offsets are
+            return pl.multiple_of(off, 8)
 
-    (hb, ub, vb, Hb, mb, mub, mvb, mqb, fqb, txb, tyb) = \
-        [b[:] for b in bufs]
+        @pl.when(jnp.logical_and(i > 0, i < nbands - 1))
+        def _():
+            seg(pl.ds(al(i * by - wy), rows), pl.ds(0, rows),
+                sems.at[k, 0]).wait()
 
-    grid_t = Grid(H=Hb, mask=mb, mask_u=mub, mask_v=mvb, mask_q=mqb,
-                  f_q=fqb)
-    zc = jnp.zeros((max(len(cfg.tides), 1),) + txb.shape, txb.dtype)
-    z3 = jnp.zeros((nz,) + txb.shape, txb.dtype)
-    forcing_t = Forcing(taux=txb, tauy=tyb,
-                        sponge=jnp.zeros_like(txb), h_ext=z3,
-                        obc_u=jnp.zeros_like(txb),
-                        obc_v=jnp.zeros_like(txb),
-                        obc_h=jnp.zeros_like(txb),
+        @pl.when(i == 0)
+        def _():
+            c1 = seg(pl.ds(al(ny - wy), wy), pl.ds(0, wy),
+                     sems.at[k, 0])
+            c2 = seg(pl.ds(0, by + wy), pl.ds(wy, by + wy),
+                     sems.at[k, 1])
+            c1.wait()
+            c2.wait()
+
+        @pl.when(jnp.logical_and(i == nbands - 1, nbands > 1))
+        def _():
+            c1 = seg(pl.ds(al(i * by - wy), by + wy),
+                     pl.ds(0, by + wy), sems.at[k, 0])
+            c2 = seg(pl.ds(0, wy), pl.ds(by + wy, wy), sems.at[k, 1])
+            c1.wait()
+            c2.wait()
+
+    for k, (r, b) in enumerate(zip(ins, bufs)):
+        dma_band(k, r, b)
+
+    hb, ub, vb, Hb, mb, txb, tyb = [b[:] for b in bufs]
+
+    # --- derive staggered masks + beta-plane f at corners in-kernel ----
+    mu = mb * ops.sxp(mb)
+    mv = mb * ops.syp(mb)
+    mq = mu * ops.sxp(ops.syp(mb)) * ops.syp(mb)
+    dt32 = hb.dtype
+    j_global = (jax.lax.broadcasted_iota(jnp.int32, (rows, nx), 0)
+                + i * by - wy)
+    # periodic band wrap: j in [0, ny)
+    j_global = jnp.where(j_global < 0, j_global + ny,
+                         jnp.where(j_global >= ny, j_global - ny,
+                                   j_global))
+    y_q = (j_global.astype(dt32) + 0.5) * cfg.dy
+    fq = cfg.f0 + cfg.beta * y_q
+
+    grid_t = Grid(H=Hb, mask=mb, mask_u=mu, mask_v=mv, mask_q=mq,
+                  f_q=fq)
+    zc = jnp.zeros((max(len(cfg.tides), 1),) + txb.shape, dt32)
+    z3 = jnp.zeros((nz,) + txb.shape, dt32)
+    z2 = jnp.zeros_like(txb)
+    forcing_t = Forcing(taux=txb, tauy=tyb, sponge=z2, h_ext=z3,
+                        obc_u=z2, obc_v=z2, obc_h=z2,
                         tide_amp=zc, tide_phase=zc)
 
     n = scal_ref[0].astype(jnp.int32)
-    t = scal_ref[1].astype(hb.dtype)
-    state_t = State(h=hb, u=ub, v=vb, t=t, n=n)
-    out = fb_mod.fb_step(state_t, grid_t, forcing_t, cfg)
+    t = scal_ref[1].astype(dt32)
+    out = fb_mod.fb_step(State(h=hb, u=ub, v=vb, t=t, n=n),
+                         grid_t, forcing_t, cfg)
 
-    sl = (slice(None), slice(wy, wy + by), slice(wx, wx + bx))
+    sl = (slice(None), slice(wy, wy + by), slice(None))
     ho_ref[:] = out.h[sl]
     uo_ref[:] = out.u[sl]
     vo_ref[:] = out.v[sl]
 
 
-def _choose_tile(n: int, target: int, mult: int) -> int:
-    """Largest divisor of n that is <= target and a multiple of mult."""
-    best = mult
-    for t in range(mult, min(n, target) + 1, mult):
-        if n % t == 0:
+def _choose_band(ny: int, target: int) -> int:
+    """Largest divisor of ny that is <= target and a multiple of 8."""
+    best = 8
+    for t in range(8, min(ny, target) + 1, 8):
+        if ny % t == 0:
             best = t
     return best
 
 
 def make_pallas_stepper(grid: Grid, forcing: Forcing, cfg: Config,
                         by: Optional[int] = None,
-                        bx: Optional[int] = None,
+                        bx: Optional[int] = None,   # unused (full width)
                         interpret: bool = False,
-                        vmem_limit_bytes: int = 64 * 1024 * 1024):
-    """Returns step(state) -> state running the fused kernel.
+                        vmem_limit_bytes: int = 100 * 1024 * 1024):
+    """Returns step(state) -> state running the fused band kernel.
 
-    Restrictions (asserted): fb scheme; no sponge/OBC/tides (their
-    fields are zeroed in-kernel; the XLA path handles those configs
-    until the kernel grows the extra operands).
+    Restrictions (raised): fb scheme; no sponge/OBC/tides (their fields
+    are zeroed in-kernel; those configs take the XLA path for now).
+    Requires beta-plane f (the general f_q map would need one more
+    streamed field — add it when a case needs non-affine f).
     """
     if cfg.scheme != "fb":
         raise ValueError("pallas stepper currently implements scheme='fb'")
     if cfg.sponge or cfg.obc or cfg.tides:
         raise ValueError("pallas stepper: sponge/OBC/tides not wired yet")
-    wy0, wx0 = HALO_Y, HALO_X
+    wy = HALO_Y
     ny, nx = cfg.ny, cfg.nx
-    # bx must be a multiple of 128 so HBM window offsets stay
-    # lane-tiling-aligned (Mosaic memref_slice constraint)
-    by = by or _choose_tile(ny, 256, 8)
-    bx = bx or _choose_tile(nx, 512, 128 if not interpret else 8)
+    by = by or _choose_band(ny, 256)
+    if ny // by < 2:                   # the wrap DMAs assume >= 2 bands
+        by = _choose_band(ny, ny // 2)
+    if ny % by:
+        raise ValueError(f"by={by} must divide ny={ny}")
+    if by < wy or by + wy > ny:
+        raise ValueError(
+            f"band height {by} incompatible with halo {wy} on ny={ny}")
     nz = cfg.nz
     dt = cfg.npdtype
+    rows = by + 2 * wy
 
-    pg, pf = pad_statics(grid, forcing, wy0, wx0)
-    statics = (pg.H, pg.mask, pg.mask_u, pg.mask_v, pg.mask_q, pg.f_q,
-               pf.taux, pf.tauy)
+    statics = (grid.H, grid.mask, forcing.taux, forcing.tauy)
 
-    win_y, win_x = by + 2 * wy0, bx + 2 * wx0
-    bufs3 = [pltpu.VMEM((nz, win_y, win_x), dt) for _ in range(3)]
-    bufs2 = [pltpu.VMEM((win_y, win_x), dt) for _ in range(8)]
+    bufs3 = [pltpu.VMEM((nz, rows, nx), dt) for _ in range(3)]
+    bufs2 = [pltpu.VMEM((rows, nx), dt) for _ in range(4)]
 
-    kernel = functools.partial(_tile_kernel, cfg=cfg, by=by, bx=bx,
-                               wy=wy0, wx=wx0)
+    kernel = functools.partial(_band_kernel, cfg=cfg, by=by, wy=wy)
 
-    out_spec = pl.BlockSpec((nz, by, bx), lambda i, j: (0, i, j),
+    out_spec = pl.BlockSpec((nz, by, nx), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         kernel,
-        grid=(ny // by, nx // bx),
+        grid=(ny // by,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.ANY)] * 11,
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * 7,
         out_specs=(out_spec, out_spec, out_spec),
         out_shape=tuple(jax.ShapeDtypeStruct((nz, ny, nx), dt)
                         for _ in range(3)),
-        scratch_shapes=bufs3 + bufs2 + [pltpu.SemaphoreType.DMA((11,))],
-        # the traced step holds ~30 live window-sized temporaries; the
-        # default 16 MiB scoped-VMEM limit is conservative on v5e
+        scratch_shapes=bufs3 + bufs2 + [pltpu.SemaphoreType.DMA((7, 2))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit_bytes),
         interpret=interpret,
@@ -175,10 +204,8 @@ def make_pallas_stepper(grid: Grid, forcing: Forcing, cfg: Config,
     @jax.jit
     def step(state: State) -> State:
         scal = jnp.stack([state.n.astype(dt), state.t.astype(dt)])
-        hp = _pad_wrap(state.h, wy0, wx0)
-        up = _pad_wrap(state.u, wy0, wx0)
-        vp = _pad_wrap(state.v, wy0, wx0)
-        h1, u1, v1 = call(scal, hp, up, vp, *statics)
-        return State(h=h1, u=u1, v=v1, t=state.t + cfg.dt, n=state.n + 1)
+        h1, u1, v1 = call(scal, state.h, state.u, state.v, *statics)
+        return State(h=h1, u=u1, v=v1, t=state.t + cfg.dt,
+                     n=state.n + 1)
 
     return step
