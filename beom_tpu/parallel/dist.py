@@ -58,8 +58,8 @@ def required_halo(cfg: Config) -> int:
         base += 4
     if cfg.wetdry or cfg.obc:
         base += 3
-    if cfg.scheme == "split":
-        return base + 2 * cfg.nsub
+    # split no longer scales the halo with nsub: the subcycle exchanges
+    # its three 2-D fields once per substep (_dist_split_step)
     return base
 
 
@@ -218,17 +218,75 @@ def _dist_projection_step(state: State, pgrid: Grid, pforcing: Forcing,
     v1 = (v_s - gfac * dphiy[None]) * grid_l.mask_v
 
     # --- layer continuity + finalize on a small pad ---------------------
+    return _dist_continuity_finalize(state, state.h, u1, v1, pgrid,
+                                     pforcing, cfg, w)
+
+
+def _dist_continuity_finalize(state: State, h, u1, v1, pgrid: Grid,
+                              pforcing: Forcing, cfg: Config, w: int,
+                              h1_override=None) -> State:
+    """Shared tail: per-layer continuity with (u1, v1) from thickness h
+    (skipped when h1_override is given), then wet/dry + Flather
+    finalize — all on a small exchanged pad (radius <= 4)."""
     w2 = 4
     grid_w2 = _crop_tree(pgrid, w - w2)
     forcing_w2 = _crop_tree(pforcing, w - w2)
-    hp = halo.pad2d(state.h, w2)
     up = halo.pad2d(u1, w2)
     vp = halo.pad2d(v1, w2)
-    dh = continuity.continuity_rhs(hp, up, vp, grid_w2, cfg)
-    h1p = (hp + dt * dh) * grid_w2.mask
+    if h1_override is None:
+        hp = halo.pad2d(h, w2)
+        dh = continuity.continuity_rhs(hp, up, vp, grid_w2, cfg)
+        h1p = (hp + cfg.dt * dh) * grid_w2.mask
+    else:
+        h1p = halo.pad2d(h1_override, w2) * grid_w2.mask
     outp = fb_mod.finalize(h1p, up, vp, state, grid_w2, forcing_w2, cfg)
     return State(h=halo.crop2d(outp.h, w2), u=halo.crop2d(outp.u, w2),
                  v=halo.crop2d(outp.v, w2), t=outp.t, n=outp.n)
+
+
+def _dist_split_step(state: State, pgrid: Grid, pforcing: Forcing,
+                     cfg: Config, w: int) -> State:
+    """Distributed split-barotropic step: slow phase pad-once on the
+    fb-radius halo, then the barotropic subcycle with ONE 2-D-field
+    halo exchange per substep (radius-1 hooks) — the halo no longer
+    grows with nsub."""
+    from beom_tpu.stepping import split as split_mod
+
+    grid_l = _crop_tree(pgrid, w)
+    ps = State(h=halo.pad2d(state.h, w), u=halo.pad2d(state.u, w),
+               v=halo.pad2d(state.v, w), t=state.t, n=state.n)
+    sp_p = split_mod.slow_phase(ps, pgrid, pforcing, cfg)
+    sp = split_mod.SlowPhase(*[halo.crop2d(a, w) for a in sp_p])
+
+    eta_f, ubar_f, vbar_f, ub_a, vb_a = split_mod.subcycle_phase(
+        sp, grid_l, cfg,
+        pad1=lambda a: halo.pad2d(a, 1),
+        crop1=lambda a: halo.crop2d(a, 1))
+
+    # recompose: u1/v1 and the column rescale are pointwise; only the
+    # continuity advection needs a small pad
+    dt = cfg.dt
+    u1 = ((sp.up + dt * sp.du_p + ubar_f[None])
+          / (1.0 + dt * sp.cu)) * grid_l.mask_u
+    v1 = ((sp.vp + dt * sp.dv_p + vbar_f[None])
+          / (1.0 + dt * sp.cv)) * grid_l.mask_v
+
+    w2 = 4
+    grid_w2 = _crop_tree(pgrid, w - w2)
+    u_adv = (halo.pad2d(sp.up, w2)
+             + halo.pad2d(ub_a, w2)[None]) * grid_w2.mask_u
+    v_adv = (halo.pad2d(sp.vp, w2)
+             + halo.pad2d(vb_a, w2)[None]) * grid_w2.mask_v
+    hp = halo.pad2d(state.h, w2)
+    dh = continuity.continuity_rhs(hp, u_adv, v_adv, grid_w2, cfg)
+    h1 = halo.crop2d((hp + dt * dh) * grid_w2.mask, w2)
+
+    col = jnp.maximum(jnp.sum(h1, axis=0), cfg.h_min)
+    target = jnp.maximum(grid_l.H + eta_f, 0.0) * grid_l.mask
+    h1 = h1 * jnp.where(col > cfg.h_min, target / col, 1.0)[None]
+
+    return _dist_continuity_finalize(state, state.h, u1, v1, pgrid,
+                                     pforcing, cfg, w, h1_override=h1)
 
 
 def make_dist_stepper(grid: Grid, forcing: Forcing, cfg: Config, mesh,
@@ -250,6 +308,8 @@ def make_dist_stepper(grid: Grid, forcing: Forcing, cfg: Config, mesh,
 
     if cfg.scheme in ("rigid_lid", "implicit_fs"):
         inner = functools.partial(_dist_projection_step, cfg=cfg, w=w)
+    elif cfg.scheme == "split":
+        inner = functools.partial(_dist_split_step, cfg=cfg, w=w)
     else:
         inner = functools.partial(_dist_padded_step, cfg=cfg, w=w)
 

@@ -26,9 +26,17 @@ Coriolis acting on the barotropic mode rides in Gbar (evaluated once per
 long step): with dt limited by advective speeds, f*dt << 1, so the
 subcycle only needs the gravity-wave terms — the classic justification
 for split-explicit schemes.
+
+Structure: `slow_phase` (stencil radius of one fb momentum evaluation)
+and `subcycle_phase` (radius 1 per substep, exchange hooks pluggable)
+are split so the distributed stepper can run the slow phase pad-once
+and the subcycle with cheap per-substep 2-D halo exchanges
+(parallel/dist.py) instead of a 2*nsub-wide halo.
 """
 
 from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -41,24 +49,34 @@ from beom_tpu.physics import continuity, drag
 from beom_tpu.stepping import fb
 
 
-def split_step(state: State, grid: Grid, forcing: Forcing,
-               cfg: Config) -> State:
-    dt = cfg.dt
-    nsub = cfg.nsub
-    dte = dt / nsub
+class SlowPhase(NamedTuple):
+    """Everything the subcycle + recompose needs, at time n."""
+    up: jax.Array        # (nz, ny, nx) shear velocities
+    vp: jax.Array
+    du_p: jax.Array      # shear tendencies
+    dv_p: jax.Array
+    du_bar: jax.Array    # (ny, nx) depth-mean tendencies
+    dv_bar: jax.Array
+    ubar: jax.Array      # (ny, nx) barotropic velocities
+    vbar: jax.Array
+    Hu: jax.Array        # (ny, nx) face column depths
+    Hv: jax.Array
+    eta0: jax.Array      # (ny, nx) free surface
+    cu: jax.Array        # (nz, ny, nx) implicit drag coefficients
+    cv: jax.Array
+
+
+def slow_phase(state: State, grid: Grid, forcing: Forcing,
+               cfg: Config) -> SlowPhase:
     h, u, v = state.h, state.u, state.v
 
-    # --- decompose into barotropic + shear ----------------------------
     hu = ops.a_xp(h) * grid.mask_u          # face thickness per layer
     hv = ops.a_yp(h) * grid.mask_v
     Hu = jnp.maximum(jnp.sum(hu, axis=0), cfg.h_min)
     Hv = jnp.maximum(jnp.sum(hv, axis=0), cfg.h_min)
     ubar = jnp.sum(hu * u, axis=0) / Hu
     vbar = jnp.sum(hv * v, axis=0) / Hv
-    up = u - ubar[None]
-    vp = v - vbar[None]
 
-    # --- slow tendencies (no surface pressure) ------------------------
     du_c, dv_c = fb._common_tendencies(h, u, v, grid, forcing, cfg,
                                        free_surface=False)
     q, U, V = fb._pv_and_fluxes(h, u, v, grid, cfg)
@@ -67,38 +85,65 @@ def split_step(state: State, grid: Grid, forcing: Forcing,
 
     du_bar = jnp.sum(hu * du_s, axis=0) / Hu
     dv_bar = jnp.sum(hv * dv_s, axis=0) / Hv
-    du_p = du_s - du_bar[None]
-    dv_p = dv_s - dv_bar[None]
 
-    # --- barotropic FB subcycle ---------------------------------------
+    cu, cv = drag.bottom_drag_coeff(h, u, v, grid, cfg)
     eta0 = (jnp.sum(h, axis=0) - grid.H) * grid.mask
+    return SlowPhase(up=u - ubar[None], vp=v - vbar[None],
+                     du_p=du_s - du_bar[None], dv_p=dv_s - dv_bar[None],
+                     du_bar=du_bar, dv_bar=dv_bar, ubar=ubar, vbar=vbar,
+                     Hu=Hu, Hv=Hv, eta0=eta0, cu=cu, cv=cv)
+
+
+def subcycle_phase(sp: SlowPhase, grid: Grid, cfg: Config,
+                   pad1: Optional[Callable] = None,
+                   crop1: Optional[Callable] = None):
+    """nsub FB substeps on (eta, ubar, vbar); returns
+    (eta_f, ubar_f, vbar_f, ubar_avg, vbar_avg).
+
+    pad1/crop1 (default identity) are the distributed 1-halo exchange
+    hooks: each substep's divergence and gradient reach one neighbour
+    cell, so one exchange of the three 2-D fields per substep suffices
+    regardless of nsub.
+    """
+    if pad1 is None:
+        def pad1(a):
+            return a
+
+        def crop1(a):
+            return a
+
+    dte = cfg.dt / cfg.nsub
 
     def sub(carry, _):
         eta, ub, vb, su, sv = carry
-        Ue = Hu * ub
-        Ve = Hv * vb
-        eta1 = (eta - dte * (ops.d_xm(Ue, cfg.dx)
-                             + ops.d_ym(Ve, cfg.dy))) * grid.mask
-        ub1 = (ub + dte * (-cfg.g * ops.d_xp(eta1, cfg.dx)
-                           + du_bar)) * grid.mask_u
-        vb1 = (vb + dte * (-cfg.g * ops.d_yp(eta1, cfg.dy)
-                           + dv_bar)) * grid.mask_v
+        Uep = pad1(sp.Hu) * pad1(ub)
+        Vep = pad1(sp.Hv) * pad1(vb)
+        div = crop1(ops.d_xm(Uep, cfg.dx) + ops.d_ym(Vep, cfg.dy))
+        eta1 = (eta - dte * div) * grid.mask
+        etap = pad1(eta1)
+        ub1 = (ub + dte * (-cfg.g * crop1(ops.d_xp(etap, cfg.dx))
+                           + sp.du_bar)) * grid.mask_u
+        vb1 = (vb + dte * (-cfg.g * crop1(ops.d_yp(etap, cfg.dy))
+                           + sp.dv_bar)) * grid.mask_v
         return (eta1, ub1, vb1, su + ub1, sv + vb1), None
 
+    z = jnp.zeros_like(sp.ubar)
     (eta_f, ubar_f, vbar_f, su, sv), _ = jax.lax.scan(
-        sub, (eta0, ubar, vbar, jnp.zeros_like(ubar), jnp.zeros_like(vbar)),
-        None, length=nsub)
-    ubar_avg = su / nsub
-    vbar_avg = sv / nsub
+        sub, (sp.eta0, sp.ubar, sp.vbar, z, z), None, length=cfg.nsub)
+    return eta_f, ubar_f, vbar_f, su / cfg.nsub, sv / cfg.nsub
 
-    # --- recompose layer velocities, implicit bottom drag -------------
-    cu, cv = drag.bottom_drag_coeff(h, u, v, grid, cfg)
-    u1 = ((up + dt * du_p + ubar_f[None]) / (1.0 + dt * cu)) * grid.mask_u
-    v1 = ((vp + dt * dv_p + vbar_f[None]) / (1.0 + dt * cv)) * grid.mask_v
 
-    # --- layer continuity with time-averaged barotropic flow ----------
-    u_adv = (up + ubar_avg[None]) * grid.mask_u
-    v_adv = (vp + vbar_avg[None]) * grid.mask_v
+def recompose(sp: SlowPhase, eta_f, ubar_f, vbar_f, ubar_avg, vbar_avg,
+              h, grid: Grid, cfg: Config):
+    """Steps 4-5: layer velocities + continuity + column rescale."""
+    dt = cfg.dt
+    u1 = ((sp.up + dt * sp.du_p + ubar_f[None])
+          / (1.0 + dt * sp.cu)) * grid.mask_u
+    v1 = ((sp.vp + dt * sp.dv_p + vbar_f[None])
+          / (1.0 + dt * sp.cv)) * grid.mask_v
+
+    u_adv = (sp.up + ubar_avg[None]) * grid.mask_u
+    v_adv = (sp.vp + vbar_avg[None]) * grid.mask_v
     dh = continuity.continuity_rhs(h, u_adv, v_adv, grid, cfg)
     h1 = (h + dt * dh) * grid.mask
 
@@ -107,5 +152,13 @@ def split_step(state: State, grid: Grid, forcing: Forcing,
     col = jnp.maximum(jnp.sum(h1, axis=0), cfg.h_min)
     target = jnp.maximum(grid.H + eta_f, 0.0) * grid.mask
     h1 = h1 * jnp.where(col > cfg.h_min, target / col, 1.0)[None]
+    return h1, u1, v1
 
+
+def split_step(state: State, grid: Grid, forcing: Forcing,
+               cfg: Config) -> State:
+    sp = slow_phase(state, grid, forcing, cfg)
+    eta_f, ubar_f, vbar_f, ub_a, vb_a = subcycle_phase(sp, grid, cfg)
+    h1, u1, v1 = recompose(sp, eta_f, ubar_f, vbar_f, ub_a, vb_a,
+                           state.h, grid, cfg)
     return fb.finalize(h1, u1, v1, state, grid, forcing, cfg)

@@ -46,15 +46,21 @@ def test_fb_two_layer():
 
 
 def test_fb_wetdry():
-    _compare("coastal_wetdry", nx=64, ny=64)
+    # wetdry halo (17) needs local blocks >= 17: 96/4 = 24 wide
+    _compare("coastal_wetdry", nx=96, ny=64)
 
 
 def test_fb_shelf_obc_tides():
-    _compare("shelf_forced", nx=64, ny=64)
+    _compare("shelf_forced", nx=96, ny=64)
 
 
 def test_split():
     _compare("double_gyre", nx=64, ny=64, scheme="split", nsub=2)
+
+
+def test_split_large_nsub():
+    # per-substep exchange: halo must NOT grow with nsub
+    _compare("double_gyre", nx=64, ny=64, scheme="split", nsub=12)
 
 
 def test_rigid_lid_distributed_cg():
@@ -75,8 +81,9 @@ def test_rigid_lid_distributed_redblack():
 
 
 def test_mesh_1xN_and_Nx1():
-    _compare("double_gyre", nx=64, ny=64, mesh_shape=(1, 8))
-    _compare("double_gyre", nx=64, ny=64, mesh_shape=(8, 1))
+    # 8-way split of one axis: 128/8 = 16 >= the 14-cell fb halo
+    _compare("double_gyre", nx=128, ny=128, mesh_shape=(1, 8), n=10)
+    _compare("double_gyre", nx=128, ny=128, mesh_shape=(8, 1), n=10)
 
 
 def test_halo_bound_documented():
