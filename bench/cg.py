@@ -56,6 +56,28 @@ def main(argv):
                       "sweeps_per_s": round(iters / dt, 2),
                       "point_sweeps_per_s": round(nx * ny * iters / dt, 1)}))
 
+    # --- temporally-blocked Pallas red-black (k sweeps / HBM pass) ----
+    try:
+        from beom_tpu.stencils.redblack_pallas import make_rb_solver
+        k = 16
+        skk = make_rb_solver(grid, cfg, k=k)
+        x = skk(jnp.zeros_like(b), b)
+        jax.block_until_ready(x)
+        reps = max(iters // k, 1)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            x = skk(x, b)
+        jax.block_until_ready(x)
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "solver": "redblack_pallas_blocked", "k": k,
+            "nx": nx, "ny": ny,
+            "sweeps_per_s": round(reps * k / dt, 2),
+            "point_sweeps_per_s": round(nx * ny * reps * k / dt, 1)}))
+    except Exception as e:
+        print(json.dumps({"solver": "redblack_pallas_blocked",
+                          "error": f"{type(e).__name__}: {e}"}))
+
 
 if __name__ == "__main__":
     main(sys.argv)

@@ -41,10 +41,17 @@ from beom_tpu.core.state import State
 from beom_tpu.core import ops
 from beom_tpu.stepping import fb as fb_mod
 
-# Stencil radius of one fb_step is <= 17 incl. wet/dry gating (see
-# parallel/dist.required_halo); 24 keeps the window row count a
-# multiple of 8 (f32 sublane tiling).
-HALO_Y = 24
+# Stencil radius of one fb_step is <= 14, or <= 17 with wet/dry gating
+# (see parallel/dist.required_halo); rounded up to a multiple of 8
+# (f32 sublane tiling).  The kernel is VPU-bound (~260 vector ops per
+# point ~ 1 Top/s at the measured rate), so halo rows cost compute
+# 1:1 — use the tight value per config.
+HALO_Y_BASE = 16
+HALO_Y_WETDRY = 24
+
+
+def _halo_y(cfg: Config) -> int:
+    return HALO_Y_WETDRY if (cfg.wetdry or cfg.obc) else HALO_Y_BASE
 
 
 def _band_kernel(scal_ref,                  # SMEM [n, t] as f32
@@ -164,7 +171,7 @@ def make_pallas_stepper(grid: Grid, forcing: Forcing, cfg: Config,
         raise ValueError("pallas stepper currently implements scheme='fb'")
     if cfg.sponge or cfg.obc or cfg.tides:
         raise ValueError("pallas stepper: sponge/OBC/tides not wired yet")
-    wy = HALO_Y
+    wy = _halo_y(cfg)
     ny, nx = cfg.ny, cfg.nx
     by = by or _choose_band(ny, 256)
     if ny // by < 2:                   # the wrap DMAs assume >= 2 bands

@@ -160,36 +160,49 @@ def make_rb_solver(grid: Grid, cfg: Config, lam: float = 0.0,
     return sweep_k
 
 
-def solve_pallas(b, grid: Grid, cfg: Config, lam: float = 0.0,
-                 x0=None, k: int = 8, tol: Optional[float] = None,
-                 max_passes: int = 200, interpret: bool = False):
-    """Run blocked-sweep passes until ||r|| <= tol ||b|| (checked once
-    per pass on the XLA side — cheap relative to k sweeps)."""
+def make_pallas_rb_solve(grid: Grid, cfg: Config, lam: float = 0.0,
+                         k: int = 8, tol: Optional[float] = None,
+                         max_passes: int = 200,
+                         interpret: bool = False):
+    """Returns jit-composable solve(b, x0=None) -> x: blocked-sweep
+    passes inside a lax.while_loop until ||r|| <= tol ||b|| (the
+    residual check costs one laplacian per k sweeps)."""
     tol = cfg.solver_tol if tol is None else tol
-    tol = max(tol, 30.0 * float(jnp.finfo(b.dtype).eps))
+    tol = max(tol, 30.0 * float(jnp.finfo(cfg.npdtype).eps))
     sweep_k = make_rb_solver(grid, cfg, lam=lam, k=k,
                              interpret=interpret)
     Hu, Hv = elliptic.face_depths(grid)
 
-    b = b * grid.mask
-    x = jnp.zeros_like(b) if x0 is None else x0 * grid.mask
-    b2 = jnp.sum(b * b)
-    threshold = (tol * tol) * jnp.maximum(b2, jnp.finfo(b.dtype).tiny)
+    def solve(b, x0=None):
+        b = b * grid.mask
+        x = jnp.zeros_like(b) if x0 is None else x0 * grid.mask
+        b2 = jnp.sum(b * b)
+        threshold = (tol * tol) * jnp.maximum(b2,
+                                              jnp.finfo(b.dtype).tiny)
 
-    @jax.jit
-    def cond(carry):
-        x, p = carry
-        r = (b - elliptic.laplacian_H(x, Hu, Hv, grid, cfg, lam=lam)) \
-            * grid.mask
-        return jnp.logical_and(p < max_passes,
-                               jnp.sum(r * r) > threshold)
+        def cond(carry):
+            x, p = carry
+            r = (b - elliptic.laplacian_H(x, Hu, Hv, grid, cfg,
+                                          lam=lam)) * grid.mask
+            return jnp.logical_and(p < max_passes,
+                                   jnp.sum(r * r) > threshold)
 
-    @jax.jit
-    def body(carry):
-        x, p = carry
-        return sweep_k(x, b), p + 1
+        def body(carry):
+            x, p = carry
+            return sweep_k(x, b), p + 1
 
-    carry = (x, jnp.zeros((), jnp.int32))
-    while bool(cond(carry)):
-        carry = body(carry)
-    return carry[0]
+        x, _ = jax.lax.while_loop(cond, body,
+                                  (x, jnp.zeros((), jnp.int32)))
+        return x
+
+    return solve
+
+
+def solve_pallas(b, grid: Grid, cfg: Config, lam: float = 0.0,
+                 x0=None, k: int = 8, tol: Optional[float] = None,
+                 max_passes: int = 200, interpret: bool = False):
+    """One-shot convenience wrapper over make_pallas_rb_solve."""
+    solve = make_pallas_rb_solve(grid, cfg, lam=lam, k=k, tol=tol,
+                                 max_passes=max_passes,
+                                 interpret=interpret)
+    return solve(b, x0=x0)
