@@ -20,8 +20,8 @@ import numpy as np
 
 def run_one(case, n_steps=10000, nx=64, dtype="float32"):
     from beom_tpu.cases import make_case
+    from beom_tpu.oracle import oracle_for
     from beom_tpu.stepping import run_steps
-    from tests.test_parity import oracle_for
     import jax
 
     kw = dict(nx=nx, ny=nx)

@@ -55,17 +55,21 @@ def _halo_y(cfg: Config) -> int:
 
 
 def _band_kernel(scal_ref,                  # SMEM [n, t] as f32
-                 h_ref, u_ref, v_ref,       # ANY: (nz, ny, nx) unpadded
-                 H_ref, m_ref, tx_ref, ty_ref,   # ANY: (ny, nx) statics
-                 ho_ref, uo_ref, vo_ref,    # VMEM out (nz, by, nx)
-                 *scratch, cfg: Config, by: int, wy: int):
+                 *args, cfg: Config, by: int, wy: int,
+                 names: tuple):
+    """args = <len(names) ANY input refs> <3 VMEM out refs> <len(names)
+    VMEM window scratch> <DMA sems>.  `names` lists the streamed fields
+    (always h, u, v, H, mask, taux, tauy; plus sponge/h_ext/obc_*/
+    tide_* when the config enables them)."""
     nz = cfg.nz
     ny, nx = cfg.ny, cfg.nx
     i = pl.program_id(0)
     nbands = pl.num_programs(0)
-    sems = scratch[-1]
-    bufs = scratch[:-1]
-    ins = (h_ref, u_ref, v_ref, H_ref, m_ref, tx_ref, ty_ref)
+    nf = len(names)
+    ins = args[:nf]
+    ho_ref, uo_ref, vo_ref = args[nf:nf + 3]
+    bufs = args[nf + 3:nf + 3 + nf]
+    sems = args[-1]
     rows = by + 2 * wy
 
     def dma_band(k, ref, buf):
@@ -110,7 +114,9 @@ def _band_kernel(scal_ref,                  # SMEM [n, t] as f32
     for k, (r, b) in enumerate(zip(ins, bufs)):
         dma_band(k, r, b)
 
-    hb, ub, vb, Hb, mb, txb, tyb = [b[:] for b in bufs]
+    f = {name: b[:] for name, b in zip(names, bufs)}
+    hb, ub, vb = f["h"], f["u"], f["v"]
+    mb = f["mask"]
 
     # --- derive staggered masks + beta-plane f at corners in-kernel ----
     mu = mb * ops.sxp(mb)
@@ -126,14 +132,18 @@ def _band_kernel(scal_ref,                  # SMEM [n, t] as f32
     y_q = (j_global.astype(dt32) + 0.5) * cfg.dy
     fq = cfg.f0 + cfg.beta * y_q
 
-    grid_t = Grid(H=Hb, mask=mb, mask_u=mu, mask_v=mv, mask_q=mq,
+    grid_t = Grid(H=f["H"], mask=mb, mask_u=mu, mask_v=mv, mask_q=mq,
                   f_q=fq)
-    zc = jnp.zeros((max(len(cfg.tides), 1),) + txb.shape, dt32)
-    z3 = jnp.zeros((nz,) + txb.shape, dt32)
-    z2 = jnp.zeros_like(txb)
-    forcing_t = Forcing(taux=txb, tauy=tyb, sponge=z2, h_ext=z3,
-                        obc_u=z2, obc_v=z2, obc_h=z2,
-                        tide_amp=zc, tide_phase=zc)
+    zc = jnp.zeros((max(len(cfg.tides), 1), rows, nx), dt32)
+    z3 = jnp.zeros((nz, rows, nx), dt32)
+    z2 = jnp.zeros((rows, nx), dt32)
+    forcing_t = Forcing(
+        taux=f["taux"], tauy=f["tauy"],
+        sponge=f.get("sponge", z2), h_ext=f.get("h_ext", z3),
+        obc_u=f.get("obc_u", z2), obc_v=f.get("obc_v", z2),
+        obc_h=f.get("obc_h", z2),
+        tide_amp=f.get("tide_amp", zc),
+        tide_phase=f.get("tide_phase", zc))
 
     n = scal_ref[0].astype(jnp.int32)
     t = scal_ref[1].astype(dt32)
@@ -162,15 +172,14 @@ def make_pallas_stepper(grid: Grid, forcing: Forcing, cfg: Config,
                         vmem_limit_bytes: int = 100 * 1024 * 1024):
     """Returns step(state) -> state running the fused band kernel.
 
-    Restrictions (raised): fb scheme; no sponge/OBC/tides (their fields
-    are zeroed in-kernel; those configs take the XLA path for now).
-    Requires beta-plane f (the general f_q map would need one more
-    streamed field — add it when a case needs non-affine f).
+    All five canonical configs are supported: sponge/OBC/tide fields
+    are streamed as extra kernel operands only when the config enables
+    them.  Restriction (raised): fb scheme only; rigid-lid/implicit-FS
+    use the blocked red-black kernel path instead.  f is beta-plane
+    (affine), derived in-kernel.
     """
     if cfg.scheme != "fb":
         raise ValueError("pallas stepper currently implements scheme='fb'")
-    if cfg.sponge or cfg.obc or cfg.tides:
-        raise ValueError("pallas stepper: sponge/OBC/tides not wired yet")
     wy = _halo_y(cfg)
     ny, nx = cfg.ny, cfg.nx
     by = by or _choose_band(ny, 256)
@@ -185,12 +194,35 @@ def make_pallas_stepper(grid: Grid, forcing: Forcing, cfg: Config,
     dt = cfg.npdtype
     rows = by + 2 * wy
 
-    statics = (grid.H, grid.mask, forcing.taux, forcing.tauy)
+    fields = {"H": grid.H, "mask": grid.mask,
+              "taux": forcing.taux, "tauy": forcing.tauy}
+    if cfg.sponge:
+        fields["sponge"] = forcing.sponge
+        fields["h_ext"] = forcing.h_ext
+    if cfg.obc:
+        fields.setdefault("h_ext", forcing.h_ext)
+        fields["obc_u"] = forcing.obc_u
+        fields["obc_v"] = forcing.obc_v
+        fields["obc_h"] = forcing.obc_h
+        if cfg.tides:
+            fields["tide_amp"] = forcing.tide_amp
+            fields["tide_phase"] = forcing.tide_phase
+    names = ("h", "u", "v") + tuple(fields)
+    statics = tuple(fields.values())
+    nf = len(names)
 
-    bufs3 = [pltpu.VMEM((nz, rows, nx), dt) for _ in range(3)]
-    bufs2 = [pltpu.VMEM((rows, nx), dt) for _ in range(4)]
+    def buf_for(name, a=None):
+        if name in ("h", "u", "v"):
+            return pltpu.VMEM((nz, rows, nx), dt)
+        if a.ndim == 3:
+            return pltpu.VMEM((a.shape[0], rows, nx), dt)
+        return pltpu.VMEM((rows, nx), dt)
 
-    kernel = functools.partial(_band_kernel, cfg=cfg, by=by, wy=wy)
+    bufs = [buf_for(n) for n in ("h", "u", "v")] + \
+           [buf_for(n, a) for n, a in fields.items()]
+
+    kernel = functools.partial(_band_kernel, cfg=cfg, by=by, wy=wy,
+                               names=names)
 
     out_spec = pl.BlockSpec((nz, by, nx), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
@@ -198,11 +230,11 @@ def make_pallas_stepper(grid: Grid, forcing: Forcing, cfg: Config,
         kernel,
         grid=(ny // by,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.ANY)] * 7,
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * nf,
         out_specs=(out_spec, out_spec, out_spec),
         out_shape=tuple(jax.ShapeDtypeStruct((nz, ny, nx), dt)
                         for _ in range(3)),
-        scratch_shapes=bufs3 + bufs2 + [pltpu.SemaphoreType.DMA((7, 2))],
+        scratch_shapes=bufs + [pltpu.SemaphoreType.DMA((nf, 2))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit_bytes),
         interpret=interpret,

@@ -43,10 +43,11 @@ def test_pallas_fb_parity_wetdry():
     _compare(nz_case="coastal_wetdry", nx=128, ny=96)
 
 
-def test_pallas_rejects_unsupported():
+def test_pallas_fb_parity_shelf_obc_tides_sponge():
+    _compare(nz_case="shelf_forced", nx=128, ny=96, n_steps=4)
+
+
+def test_pallas_rejects_unsupported_scheme():
     cfg, grid, forcing, state = make_case("rigid_lid", nx=64, ny=64)
     with pytest.raises(ValueError, match="scheme"):
-        make_pallas_stepper(grid, forcing, cfg)
-    cfg, grid, forcing, state = make_case("shelf_forced", nx=64, ny=48)
-    with pytest.raises(ValueError, match="sponge|OBC|tides"):
         make_pallas_stepper(grid, forcing, cfg)
