@@ -1,0 +1,252 @@
+"""Generic full-width band-kernel machinery for Pallas TPU stencils
+(SURVEY.md §3 C23, §4.4).
+
+Every stencil kernel in this package shares one memory plan:
+
+  * the grid is tiled into full-width row bands — x-rolls inside the
+    kernel ARE the global periodic wrap (no x halo, no padding pass);
+  * each band DMAs rows [i*by - wy, i*by + by + wy) of every operand
+    from the *unpadded* HBM arrays into VMEM scratch, with the y wrap
+    handled by split copies at the first/last band;
+  * the physics runs on the haloed VMEM block (a roll on the padded
+    band equals the global roll for all interior rows), and the
+    interior `by` rows are written back.
+
+`make_band_call(...)` packages that plan around an arbitrary
+`body(f, grid_t, forcing_t, scal) -> tuple of arrays`: `f` maps field
+name -> haloed VMEM block, `grid_t`/`forcing_t` are band-local Grid /
+Forcing pytrees (staggered masks and the beta-plane f reconstructed
+in-kernel from the centre mask and the global row index), and `scal`
+is the (n, t) step scalars from SMEM.  fused_fb.py (fb/split schemes)
+and fused_projection.py (rigid-lid / implicit-FS phases) are both
+instances.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from beom_tpu.core import ops
+from beom_tpu.core.config import Config
+from beom_tpu.core.grid import Grid, Forcing
+
+
+def choose_band(ny: int, target: int) -> int:
+    """Largest divisor of ny that is <= target and a multiple of 8."""
+    best = 8
+    for t in range(8, min(ny, target) + 1, 8):
+        if ny % t == 0:
+            best = t
+    return best
+
+
+def static_fields(grid: Grid, forcing: Forcing, cfg: Config) -> dict:
+    """The grid/forcing arrays streamed to every band kernel: always
+    H/mask/taux/tauy, plus sponge/OBC/tide operands when enabled."""
+    fields = {"H": grid.H, "mask": grid.mask,
+              "taux": forcing.taux, "tauy": forcing.tauy}
+    if cfg.sponge:
+        fields["sponge"] = forcing.sponge
+        fields["h_ext"] = forcing.h_ext
+    if cfg.obc:
+        fields.setdefault("h_ext", forcing.h_ext)
+        fields["obc_u"] = forcing.obc_u
+        fields["obc_v"] = forcing.obc_v
+        fields["obc_h"] = forcing.obc_h
+        if cfg.tides:
+            fields["tide_amp"] = forcing.tide_amp
+            fields["tide_phase"] = forcing.tide_phase
+    return fields
+
+
+def band_grid_forcing(f: dict, cfg: Config, i, by: int, rows: int):
+    """Reconstruct band-local Grid/Forcing from the haloed blocks:
+    staggered masks from the centre mask, beta-plane f at corners from
+    the global row index (exactly the make_grid formulas)."""
+    nz, ny, nx = cfg.nz, cfg.ny, cfg.nx
+    mb = f["mask"]
+    mu = mb * ops.sxp(mb)
+    mv = mb * ops.syp(mb)
+    mq = mu * ops.sxp(ops.syp(mb)) * ops.syp(mb)
+    dt32 = mb.dtype
+    wy = (rows - by) // 2
+    j_global = (jax.lax.broadcasted_iota(jnp.int32, (rows, nx), 0)
+                + i * by - wy)
+    j_global = jnp.where(j_global < 0, j_global + ny,
+                         jnp.where(j_global >= ny, j_global - ny,
+                                   j_global))
+    y_q = (j_global.astype(dt32) + 0.5) * cfg.dy
+    fq = cfg.f0 + cfg.beta * y_q
+
+    grid_t = Grid(H=f["H"], mask=mb, mask_u=mu, mask_v=mv, mask_q=mq,
+                  f_q=fq)
+    zc = jnp.zeros((max(len(cfg.tides), 1), rows, nx), dt32)
+    z3 = jnp.zeros((nz, rows, nx), dt32)
+    z2 = jnp.zeros((rows, nx), dt32)
+    forcing_t = Forcing(
+        taux=f["taux"], tauy=f["tauy"],
+        sponge=f.get("sponge", z2), h_ext=f.get("h_ext", z3),
+        obc_u=f.get("obc_u", z2), obc_v=f.get("obc_v", z2),
+        obc_h=f.get("obc_h", z2),
+        tide_amp=f.get("tide_amp", zc),
+        tide_phase=f.get("tide_phase", zc))
+    return grid_t, forcing_t
+
+
+def _band_kernel(scal_ref,                  # SMEM [2] as f32
+                 *args, cfg: Config, by: int, wy: int,
+                 names: tuple, n_out: int, body: Callable):
+    """args = <len(names) ANY input refs> <n_out VMEM out refs>
+    <len(names) VMEM window scratch> <DMA sems>."""
+    ny, nx = cfg.ny, cfg.nx
+    i = pl.program_id(0)
+    nbands = pl.num_programs(0)
+    nf = len(names)
+    ins = args[:nf]
+    outs = args[nf:nf + n_out]
+    bufs = args[nf + n_out:nf + n_out + nf]
+    sems = args[-1]
+    rows = by + 2 * wy
+
+    def dma_band(k, ref, buf):
+        """Fill buf with rows [i*by - wy, i*by + by + wy) of ref,
+        wrapping periodically at the first/last band."""
+        def seg(ref_rows, buf_rows, sem):
+            if len(ref.shape) == 3:
+                src = ref.at[:, ref_rows, :]
+                dst = buf.at[:, buf_rows, :]
+            else:
+                src = ref.at[ref_rows, :]
+                dst = buf.at[buf_rows, :]
+            cp = pltpu.make_async_copy(src, dst, sem)
+            cp.start()
+            return cp
+
+        def al(off):     # by and wy are multiples of 8, so offsets are
+            return pl.multiple_of(off, 8)
+
+        @pl.when(jnp.logical_and(i > 0, i < nbands - 1))
+        def _():
+            seg(pl.ds(al(i * by - wy), rows), pl.ds(0, rows),
+                sems.at[k, 0]).wait()
+
+        @pl.when(i == 0)
+        def _():
+            c1 = seg(pl.ds(al(ny - wy), wy), pl.ds(0, wy),
+                     sems.at[k, 0])
+            c2 = seg(pl.ds(0, by + wy), pl.ds(wy, by + wy),
+                     sems.at[k, 1])
+            c1.wait()
+            c2.wait()
+
+        @pl.when(jnp.logical_and(i == nbands - 1, nbands > 1))
+        def _():
+            c1 = seg(pl.ds(al(i * by - wy), by + wy),
+                     pl.ds(0, by + wy), sems.at[k, 0])
+            c2 = seg(pl.ds(0, wy), pl.ds(by + wy, wy), sems.at[k, 1])
+            c1.wait()
+            c2.wait()
+
+    for k, (r, b) in enumerate(zip(ins, bufs)):
+        dma_band(k, r, b)
+
+    f = {name: b[:] for name, b in zip(names, bufs)}
+    grid_t, forcing_t = band_grid_forcing(f, cfg, i, by, rows)
+
+    n = scal_ref[0].astype(jnp.int32)
+    t = scal_ref[1].astype(f["mask"].dtype)
+    results = body(f, grid_t, forcing_t, (n, t))
+
+    for out_ref, res in zip(outs, results):
+        if res.ndim == 3:
+            out_ref[:] = res[:, wy:wy + by, :]
+        else:
+            out_ref[:] = res[wy:wy + by, :]
+
+
+def make_band_call(grid: Grid, forcing: Forcing, cfg: Config,
+                   body: Callable,
+                   dyn: dict,
+                   out_leads: tuple,
+                   wy: int,
+                   by: Optional[int] = None,
+                   interpret: bool = False,
+                   vmem_limit_bytes: int = 100 * 1024 * 1024,
+                   band_target: int = 256):
+    """Build call(scal, *dyn_arrays) -> tuple of global outputs.
+
+    dyn: name -> example array (3-D (lead, ny, nx) or 2-D (ny, nx)) —
+    the per-step operands, streamed after the static grid/forcing set.
+    out_leads: tuple of leading dims per output; () means 2-D (ny, nx),
+    (nz,) means (nz, ny, nx).
+    body: see module docstring; must return len(out_leads) arrays over
+    the haloed band, cropped here to the interior rows.
+    """
+    ny, nx = cfg.ny, cfg.nx
+    by = by or choose_band(ny, band_target)
+    if ny // by < 2:                   # the wrap DMAs assume >= 2 bands
+        by = choose_band(ny, ny // 2)
+    if by + 2 * wy > ny:               # interior-band DMA is traced
+        by = choose_band(ny, ny - 2 * wy)  # unconditionally: rows <= ny
+    if ny % by:
+        raise ValueError(f"by={by} must divide ny={ny}")
+    if by < wy or by + 2 * wy > ny:
+        raise ValueError(
+            f"band height {by} incompatible with halo {wy} on ny={ny}")
+    dt = cfg.npdtype
+    rows = by + 2 * wy
+
+    statics = static_fields(grid, forcing, cfg)
+    names = tuple(dyn) + tuple(statics)
+    examples = list(dyn.values()) + list(statics.values())
+    nf = len(names)
+
+    def buf_for(a):
+        if a.ndim == 3:
+            return pltpu.VMEM((a.shape[0], rows, nx), dt)
+        return pltpu.VMEM((rows, nx), dt)
+
+    bufs = [buf_for(a) for a in examples]
+
+    kernel = functools.partial(_band_kernel, cfg=cfg, by=by, wy=wy,
+                               names=names, n_out=len(out_leads),
+                               body=body)
+
+    out_specs, out_shape = [], []
+    for lead in out_leads:
+        if lead:
+            out_specs.append(pl.BlockSpec(
+                lead + (by, nx),
+                lambda i, _l=len(lead): (0,) * _l + (i, 0),
+                memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct(lead + (ny, nx), dt))
+        else:
+            out_specs.append(pl.BlockSpec((by, nx), lambda i: (i, 0),
+                                          memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((ny, nx), dt))
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(ny // by,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * nf,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=bufs + [pltpu.SemaphoreType.DMA((nf, 2))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes),
+        interpret=interpret,
+    )
+
+    static_vals = tuple(statics.values())
+
+    def apply(scal, *dyn_arrays):
+        return call(scal, *dyn_arrays, *static_vals)
+
+    return apply

@@ -1,0 +1,145 @@
+"""Composed Pallas path for the rigid-lid / implicit-free-surface
+schemes (SURVEY.md §3 C23; stepping/projection.py is the XLA spec).
+
+A projection step cannot be one band pass — the elliptic solve couples
+the whole domain — but it decomposes exactly into
+
+  phase A (band kernel) : provisional momentum u*,v* with the surface
+                          term dropped + barotropic transport
+                          divergence — the bandwidth/VPU-heavy part;
+  glue    (XLA)         : the solve RHS (a handful of elementwise 2-D
+                          ops and, for rigid lid, one global de-mean
+                          reduction — jnp.sum, negligible traffic);
+  solve                 : cfg.solver='redblack' -> the temporally
+                          blocked red-black kernel
+                          (stencils/redblack_pallas.py, k sweeps per
+                          HBM pass); 'cg' -> solvers/elliptic.cg_solve
+                          (XLA while_loop; its dots are latency- not
+                          bandwidth-bound);
+  phase B (band kernel) : gradient correction + per-layer continuity +
+                          finalize (wet/dry gates, Flather) in one
+                          fused pass.
+
+Parity vs the XLA projection step: the band phases share every op with
+stepping/projection.py, but FMA-contraction differences between fusion
+contexts leave ~1-ulp input diffs, and the iterative solve amplifies
+any ulp to solver-tolerance-level field diffs — so the two paths agree
+to the solver tolerance, not bitwise (tests/unit/test_pallas.py pins
+the envelope for both solvers).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from beom_tpu.core import ops
+from beom_tpu.core.config import Config
+from beom_tpu.core.grid import Grid, Forcing
+from beom_tpu.core.state import State
+from beom_tpu.physics import continuity
+from beom_tpu.solvers import elliptic
+from beom_tpu.solvers.elliptic import _local_dot
+from beom_tpu.stencils.band import make_band_call
+from beom_tpu.stepping import fb
+from beom_tpu.stepping.projection import barotropic_transport
+
+_HALO_A_BASE = 16     # momentum_update radius, as in fused_fb
+_HALO_A_WIDE = 24     # + wet/dry gating / OBC terms
+_HALO_B = 8           # grad(1) + continuity(<=3) + finalize(<=3)
+
+
+def make_pallas_projection_stepper(
+        grid: Grid, forcing: Forcing, cfg: Config,
+        by: Optional[int] = None,
+        k_sweeps: int = 8,
+        interpret: bool = False,
+        vmem_limit_bytes: int = 100 * 1024 * 1024):
+    """Returns step(state) -> state for scheme='rigid_lid'/'implicit_fs'
+    with both band phases (and, for solver='redblack', the elliptic
+    solve) running as Pallas TPU kernels."""
+    if cfg.scheme not in ("rigid_lid", "implicit_fs"):
+        raise ValueError("fused_projection implements the projection "
+                         "schemes; fb/split use stencils/fused_fb.py")
+    rigid = cfg.scheme == "rigid_lid"
+    dt = cfg.dt
+    lam = 0.0 if rigid else 1.0 / (cfg.g * dt * dt)
+    corr = dt if rigid else cfg.g * dt    # velocity-correction factor
+    wy_a = _HALO_A_WIDE if (cfg.wetdry or cfg.obc) else _HALO_A_BASE
+    nz = cfg.nz
+    npdt = cfg.npdtype
+    huv = dict.fromkeys(("h", "u", "v"), grid.H[None].repeat(nz, 0))
+
+    def body_a(f, grid_t, forcing_t, scal):
+        n, t = scal
+        state = State(h=f["h"], u=f["u"], v=f["v"], t=t, n=n)
+        u_s, v_s = fb.momentum_update(f["h"], state, grid_t, forcing_t,
+                                      cfg, free_surface=False)
+        U, V = barotropic_transport(f["h"], u_s, v_s, grid_t)
+        div = (ops.d_xm(U, cfg.dx) + ops.d_ym(V, cfg.dy)) * grid_t.mask
+        return u_s, v_s, div
+
+    call_a = make_band_call(
+        grid, forcing, cfg, body_a, dyn=huv,
+        out_leads=((nz,), (nz,), ()),
+        wy=wy_a, by=by, interpret=interpret,
+        vmem_limit_bytes=vmem_limit_bytes)
+
+    def body_b(f, grid_t, forcing_t, scal):
+        n, t = scal
+        dpx = grid_t.mask_u * ops.d_xp(f["p"], cfg.dx)
+        dpy = grid_t.mask_v * ops.d_yp(f["p"], cfg.dy)
+        u1 = (f["u"] - corr * dpx[None]) * grid_t.mask_u
+        v1 = (f["v"] - corr * dpy[None]) * grid_t.mask_v
+        dh = continuity.continuity_rhs(f["h"], u1, v1, grid_t, cfg)
+        h1 = (f["h"] + dt * dh) * grid_t.mask
+        out = fb.finalize(h1, u1, v1,
+                          State(h=f["h"], u=f["u"], v=f["v"], t=t, n=n),
+                          grid_t, forcing_t, cfg)
+        return out.h, out.u, out.v
+
+    call_b = make_band_call(
+        grid, forcing, cfg, body_b, dyn={**huv, "p": grid.H},
+        out_leads=((nz,), (nz,), (nz,)),
+        wy=16 if (cfg.wetdry or cfg.obc) else _HALO_B,
+        by=by, interpret=interpret,
+        vmem_limit_bytes=vmem_limit_bytes)
+
+    if cfg.solver == "redblack":
+        from beom_tpu.stencils.redblack_pallas import make_pallas_rb_solve
+        # same sweep budget as the XLA path's fixed-maxiter SOR loop:
+        # never more total sweeps, usually fewer (residual early-exit)
+        solve = make_pallas_rb_solve(
+            grid, cfg, lam=lam, k=k_sweeps,
+            max_passes=max(1, cfg.solver_maxiter // k_sweeps),
+            interpret=interpret)
+    else:
+        def solve(b, x0=None):
+            return elliptic.cg_solve(b, grid, cfg, x0=x0, lam=lam).x
+
+    @jax.jit
+    def step(state: State) -> State:
+        scal = jnp.stack([state.n.astype(npdt), state.t.astype(npdt)])
+        u_s, v_s, div = call_a(scal, state.h, state.u, state.v)
+
+        if rigid:
+            # see stepping/projection.rigid_lid_step: the projection
+            # also removes the accumulated column anomaly; the Neumann
+            # problem needs a zero-sum (de-meaned) RHS
+            anom = (jnp.sum(state.h, axis=0) - grid.H) * grid.mask
+            anom = anom - grid.mask * (_local_dot(anom, grid.mask)
+                                       / _local_dot(grid.mask, grid.mask))
+            rhs = (div - anom / dt) / dt
+            p = solve(rhs)
+        else:
+            eta_n = (jnp.sum(state.h, axis=0) - grid.H) * grid.mask
+            b = -lam * (eta_n - dt * div)
+            p = solve(b, x0=eta_n)
+
+        h1, u1, v1 = call_b(scal, state.h, u_s, v_s, p)
+        return State(h=h1, u=u1, v=v1, t=state.t + cfg.dt,
+                     n=state.n + 1)
+
+    return step

@@ -143,7 +143,7 @@ def make_rb_solver(grid: Grid, cfg: Config, lam: float = 0.0,
     call = pl.pallas_call(
         kernel,
         grid=(ny // by,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
         out_specs=pl.BlockSpec((by, nx), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ny, nx), dt),

@@ -31,11 +31,17 @@ def get_step(cfg: Config):
 def make_stepper(grid, forcing, cfg: Config):
     """Jitted step(state) -> state for cfg.scheme, closing over statics.
 
-    cfg.backend='pallas' routes the fb scheme through the fused TPU
-    stencil kernel (stencils/fused_fb.py); all other schemes/backends
-    take the op-by-op XLA path.
+    cfg.backend='pallas' routes through the fused TPU stencil kernels:
+    fb/split via stencils/fused_fb.py (one band pass per step),
+    rigid-lid/implicit-FS via stencils/fused_projection.py (band
+    phases around the elliptic solve).  backend='xla' is the op-by-op
+    reference path.
     """
     if cfg.backend == "pallas":
+        if cfg.scheme in ("rigid_lid", "implicit_fs"):
+            from beom_tpu.stencils.fused_projection import (
+                make_pallas_projection_stepper)
+            return make_pallas_projection_stepper(grid, forcing, cfg)
         from beom_tpu.stencils.fused_fb import make_pallas_stepper
         return make_pallas_stepper(grid, forcing, cfg)
     step = get_step(cfg)

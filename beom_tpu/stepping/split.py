@@ -114,7 +114,11 @@ def subcycle_phase(sp: SlowPhase, grid: Grid, cfg: Config,
 
     dte = cfg.dt / cfg.nsub
 
-    def sub(carry, _):
+    # fori_loop (not scan): static trip count, tuple carry — this is the
+    # one loop shape that also lowers inside the fused Pallas band
+    # kernel (stencils/fused_fb.py), so the XLA, shard_map and Pallas
+    # tiers share this single subcycle implementation.
+    def sub(_, carry):
         eta, ub, vb, su, sv = carry
         Uep = pad1(sp.Hu) * pad1(ub)
         Vep = pad1(sp.Hv) * pad1(vb)
@@ -125,11 +129,11 @@ def subcycle_phase(sp: SlowPhase, grid: Grid, cfg: Config,
                            + sp.du_bar)) * grid.mask_u
         vb1 = (vb + dte * (-cfg.g * crop1(ops.d_yp(etap, cfg.dy))
                            + sp.dv_bar)) * grid.mask_v
-        return (eta1, ub1, vb1, su + ub1, sv + vb1), None
+        return (eta1, ub1, vb1, su + ub1, sv + vb1)
 
     z = jnp.zeros_like(sp.ubar)
-    (eta_f, ubar_f, vbar_f, su, sv), _ = jax.lax.scan(
-        sub, (sp.eta0, sp.ubar, sp.vbar, z, z), None, length=cfg.nsub)
+    eta_f, ubar_f, vbar_f, su, sv = jax.lax.fori_loop(
+        0, cfg.nsub, sub, (sp.eta0, sp.ubar, sp.vbar, z, z))
     return eta_f, ubar_f, vbar_f, su / cfg.nsub, sv / cfg.nsub
 
 

@@ -15,10 +15,10 @@ from beom_tpu.stepping import make_stepper
 from beom_tpu.stencils.fused_fb import make_pallas_stepper
 
 
-def _compare(n_steps=3, nz_case="double_gyre", **kw):
+def _compare(n_steps=3, nz_case="double_gyre", by=48, **kw):
     cfg, grid, forcing, state = make_case(nz_case, **kw)
     step_x = make_stepper(grid, forcing, cfg)
-    step_p = make_pallas_stepper(grid, forcing, cfg, by=48, bx=64,
+    step_p = make_pallas_stepper(grid, forcing, cfg, by=by, bx=64,
                                  interpret=True)
     sx = sp = state
     for _ in range(n_steps):
@@ -47,7 +47,60 @@ def test_pallas_fb_parity_shelf_obc_tides_sponge():
     _compare(nz_case="shelf_forced", nx=128, ny=96, n_steps=4)
 
 
+def test_pallas_split_parity():
+    # split in-kernel: subcycle fori_loop + 2*nsub-wider halo (wy=32
+    # for nsub=6; rows = by + 2*wy must fit in ny -> by=32 on ny=160)
+    _compare(nx=128, ny=160, scheme="split", nsub=6, by=32)
+
+
+def test_pallas_split_parity_2layer():
+    _compare(nz_case="two_layer", nx=128, ny=160, scheme="split",
+             nsub=4, by=32)
+
+
 def test_pallas_rejects_unsupported_scheme():
     cfg, grid, forcing, state = make_case("rigid_lid", nx=64, ny=64)
     with pytest.raises(ValueError, match="scheme"):
         make_pallas_stepper(grid, forcing, cfg)
+
+
+def _compare_projection(case="rigid_lid", n_steps=3, atol_ulp=1e-12,
+                        **kw):
+    from beom_tpu.stencils.fused_projection import (
+        make_pallas_projection_stepper)
+
+    cfg, grid, forcing, state = make_case(case, **kw)
+    step_x = make_stepper(grid, forcing, cfg)
+    step_p = make_pallas_projection_stepper(grid, forcing, cfg, by=48,
+                                            interpret=True)
+    sx = sp = state
+    for _ in range(n_steps):
+        sx = step_x(sx)
+        sp = step_p(sp)
+    for f in "huv":
+        a = np.asarray(getattr(sx, f))
+        b = np.asarray(getattr(sp, f))
+        scale = max(np.abs(a).max(), 1e-30)
+        np.testing.assert_allclose(b, a, rtol=0,
+                                   atol=atol_ulp * max(scale, 1.0))
+
+
+def test_pallas_rigid_lid_cg():
+    # the band phases share every op with the XLA projection step, but
+    # FMA-contraction differences between fusion contexts leave ~1-ulp
+    # input diffs, and CG amplifies any ulp to solver-tolerance-level
+    # field diffs -> compare at that envelope, not bitwise
+    _compare_projection("rigid_lid", nx=128, ny=96, solver="cg",
+                        atol_ulp=1e-5)
+
+
+def test_pallas_implicit_fs_cg():
+    _compare_projection("rigid_lid", nx=128, ny=96, solver="cg",
+                        scheme="implicit_fs", atol_ulp=1e-5)
+
+
+def test_pallas_rigid_lid_redblack_tolerance():
+    # blocked-RB sweeps differ from strict SOR -> agreement at the
+    # solver-tolerance level, amplified over n_steps
+    _compare_projection("rigid_lid", nx=128, ny=96, solver="redblack",
+                        atol_ulp=1e-4)
