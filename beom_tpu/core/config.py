@@ -79,6 +79,7 @@ class Config:
     mesh_x: int = 1               # device mesh extent along x
     mesh_y: int = 1               # device mesh extent along y
     halo: int = 2                 # halo width per exchange (>= stencil radius)
+    halo_impl: str = "ppermute"   # 'ppermute' (XLA) | 'rdma' (Pallas, C21)
 
     # --- io / diagnostics cadence (C15/C16) ---
     diag_every: int = 0           # steps between diagnostics (0 = off)
@@ -97,6 +98,8 @@ class Config:
             raise ValueError(f"unknown slip {self.slip!r}")
         if self.nx % self.mesh_x or self.ny % self.mesh_y:
             raise ValueError("nx/ny must divide evenly over the device mesh")
+        if self.halo_impl not in ("ppermute", "rdma"):
+            raise ValueError(f"unknown halo_impl {self.halo_impl!r}")
 
     # -- derived, all static Python values ------------------------------
 

@@ -320,7 +320,11 @@ def make_dist_stepper(grid: Grid, forcing: Forcing, cfg: Config, mesh,
     def shard_step(state, pg, pf):
         def body(s, _):
             return inner(s, pgrid=pg, pforcing=pf), None
-        state, _ = jax.lax.scan(body, state, None, length=n_inner)
+        # halo.impl is a trace-time switch: every halo.pad2d traced
+        # inside this block uses cfg.halo_impl ('rdma' -> Pallas RDMA
+        # kernels, parallel/rdma_halo.py)
+        with halo.impl(cfg.halo_impl):
+            state, _ = jax.lax.scan(body, state, None, length=n_inner)
         return state
 
     fn = shard_map(shard_step, mesh=mesh,

@@ -13,9 +13,30 @@ blocks (..., ny_l, nx_l), axis names refer to the ('y', 'x') mesh.
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+# pad2d implementation selector, applied at *trace* time (the choice is
+# static program structure): 'ppermute' (XLA collectives, the default)
+# or 'rdma' (one Pallas kernel per exchange, parallel/rdma_halo.py).
+_PAD_IMPL = "ppermute"
+
+
+@contextlib.contextmanager
+def impl(name: str):
+    """Select the halo implementation while tracing (see
+    dist.make_dist_stepper, which applies Config.halo_impl)."""
+    global _PAD_IMPL
+    if name not in ("ppermute", "rdma"):
+        raise ValueError(f"unknown halo impl {name!r}")
+    old, _PAD_IMPL = _PAD_IMPL, name
+    try:
+        yield
+    finally:
+        _PAD_IMPL = old
 
 
 def _ring_perm(axis_name: str, up: bool):
@@ -43,6 +64,9 @@ def pad_axis(a, w: int, axis: int, axis_name: str):
 def pad2d(a, w: int):
     """Halo-pad the trailing (y, x) axes: y phase then x phase (corners
     ride the x phase of the already-y-padded block)."""
+    if _PAD_IMPL == "rdma" and w > 0:
+        from beom_tpu.parallel.rdma_halo import rdma_pad2d
+        return rdma_pad2d(a, w)
     a = pad_axis(a, w, axis=a.ndim - 2, axis_name="y")
     a = pad_axis(a, w, axis=a.ndim - 1, axis_name="x")
     return a
