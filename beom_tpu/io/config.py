@@ -51,16 +51,23 @@ def load_toml(path, overrides: Iterable[str] = ()) -> Config:
     return apply_overrides(cfg, overrides)
 
 
-def apply_overrides(cfg: Config, overrides: Iterable[str]) -> Config:
+def parse_overrides(overrides: Iterable[str]) -> dict:
+    """'key=value' strings -> coerced kwargs dict (keys unrestricted:
+    case factories take non-Config parameters like L, H0, tau0)."""
     kw = {}
     for item in overrides:
         key, sep, value = item.partition("=")
         if not sep:
             raise ValueError(f"override {item!r} is not key=value")
-        key = key.strip()
-        if key not in _FIELDS:
-            raise KeyError(f"unknown Config key {key!r}")
-        kw[key] = _coerce(key, value.strip())
+        kw[key.strip()] = _coerce(key, value.strip())
+    return kw
+
+
+def apply_overrides(cfg: Config, overrides: Iterable[str]) -> Config:
+    kw = parse_overrides(overrides)
+    unknown = set(kw) - _FIELDS
+    if unknown:
+        raise KeyError(f"unknown Config keys: {sorted(unknown)}")
     return dataclasses.replace(cfg, **kw) if kw else cfg
 
 
@@ -68,3 +75,30 @@ def _case_config(name: str) -> Config:
     from beom_tpu.cases import make_case
     cfg, _, _, _ = make_case(name)
     return cfg
+
+
+def load_toml_case(path, overrides: Iterable[str] = ()):
+    """Build a full runnable experiment from a TOML file.
+
+    The file must name a canonical geometry with `case = "<name>"`;
+    every other top-level key is passed to the case factory — Config
+    fields (nx, scheme, ...) and factory-specific parameters (L, H0,
+    tau0, ...) alike, since the factories accept both.  `overrides`
+    ('key=value' strings, CLI --set) are folded into the same kwargs
+    *before* the geometry is built, so grid-shaping keys like nx stay
+    consistent with the arrays.
+
+    Returns (cfg, grid, forcing, state) — the make_case contract.
+    """
+    from beom_tpu.cases import make_case
+
+    with open(path, "rb") as f:
+        d = dict(tomllib.load(f))
+    name = d.pop("case", None)
+    if name is None:
+        raise ValueError(
+            f"{path}: a runnable TOML must set case = '<canonical case>' "
+            "(the geometry factory; see beom_tpu.cases)")
+    kw = {k: _coerce(k, v) for k, v in d.items()}
+    kw.update(parse_overrides(overrides))
+    return make_case(name, **kw)

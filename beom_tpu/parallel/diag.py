@@ -28,11 +28,13 @@ def make_dist_diagnostics(grid: Grid, cfg: Config, mesh):
     def local(state: State, H, mask):
         h, u, v = state.h, state.u, state.v
         dA = cfg.dx * cfg.dy
-        # NOTE: a_xm/a_ym wrap locally at shard edges; the wrapped cells
-        # contribute O(1/block) error to KE only — acceptable for a
-        # monitoring scalar (the exact path is the gathered oracle diag)
-        ke = 0.5 * cfg.rho0 * lax.psum(
-            jnp.sum(h * (ops.a_xm(u * u) + ops.a_ym(v * v))) * dA, axes)
+        # the face->centre averages reach one cell west/south: exchange
+        # a 1-halo so the distributed KE matches the single-device scalar
+        # exactly (a local wrap would differ O(1/block) at shard edges)
+        from beom_tpu.parallel import halo
+        uu = halo.crop2d(ops.a_xm(halo.pad2d(u * u, 1)), 1)
+        vv = halo.crop2d(ops.a_ym(halo.pad2d(v * v, 1)), 1)
+        ke = 0.5 * cfg.rho0 * lax.psum(jnp.sum(h * (uu + vv)) * dA, axes)
         eta = (jnp.sum(h, axis=0) - H) * mask
         mass = lax.psum(jnp.sum(h) * dA, axes)
         nwet = lax.psum(jnp.sum(mask), axes)

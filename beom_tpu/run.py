@@ -42,34 +42,10 @@ def run(cfg: Config, grid: Grid, forcing: Forcing, state: State,
     cadences = [c for c in (cfg.diag_every, cfg.snap_every) if c > 0]
     if chunk is None:
         chunk = min(cadences) if cadences else 100
+    chunk = max(1, min(chunk, n_steps))
 
-    if cfg.mesh_x * cfg.mesh_y > 1:
-        from beom_tpu.parallel.dist import make_dist_stepper
-        from beom_tpu.parallel.mesh import make_mesh, shard_state
-        mesh = make_mesh(cfg.mesh_y, cfg.mesh_x)
-        advance = make_dist_stepper(grid, forcing, cfg, mesh,
-                                    n_inner=chunk)
-        state = shard_state(state, mesh)
-    elif cfg.backend == "pallas":
-        from beom_tpu.stepping import make_stepper
-        pstep = make_stepper(grid, forcing, cfg)
-
-        @jax.jit
-        def advance(s):
-            def body(s, _):
-                return pstep(s), None
-            s, _ = jax.lax.scan(body, s, None, length=chunk)
-            return s
-    else:
-        step = get_step(cfg)
-
-        @jax.jit
-        def advance(s):
-            def body(s, _):
-                return step(s, grid, forcing, cfg), None
-            s, _ = jax.lax.scan(body, s, None, length=chunk)
-            return s
-
+    # resume BEFORE sharding so a mesh>1 run feeds properly-placed
+    # shards into the jitted shard_map program (r1 VERDICT weak #4)
     if run_dir:
         os.makedirs(run_dir, exist_ok=True)
         if resume := snapshots.latest_snapshot(run_dir):
@@ -77,10 +53,47 @@ def run(cfg: Config, grid: Grid, forcing: Forcing, state: State,
             print(f"# resumed from {resume} at step {int(state.n)}",
                   file=log)
 
+    dist = cfg.mesh_x * cfg.mesh_y > 1
+    if dist:
+        from beom_tpu.parallel.dist import make_dist_stepper
+        from beom_tpu.parallel.mesh import make_mesh, shard_state
+        mesh = make_mesh(cfg.mesh_y, cfg.mesh_x)
+        state = shard_state(state, mesh)
+
+        def make_advance(k):
+            return make_dist_stepper(grid, forcing, cfg, mesh, n_inner=k)
+    elif cfg.backend == "pallas":
+        from beom_tpu.stepping import make_stepper
+        pstep = make_stepper(grid, forcing, cfg)
+
+        def make_advance(k):
+            @jax.jit
+            def advance(s):
+                def body(s, _):
+                    return pstep(s), None
+                s, _ = jax.lax.scan(body, s, None, length=k)
+                return s
+            return advance
+    else:
+        step = get_step(cfg)
+
+        def make_advance(k):
+            @jax.jit
+            def advance(s):
+                def body(s, _):
+                    return step(s, grid, forcing, cfg), None
+                s, _ = jax.lax.scan(body, s, None, length=k)
+                return s
+            return advance
+
+    advances = {chunk: make_advance(chunk)}
     done = 0
     while done < n_steps:
-        state = advance(state)
-        done += chunk
+        k = min(chunk, n_steps - done)   # final partial chunk re-jits once
+        if k not in advances:
+            advances[k] = make_advance(k)
+        state = advances[k](state)
+        done += k
         d = {k: float(v) for k, v in
              diagnostics(state, grid, cfg).items()}
         if cfg.diag_every > 0:
@@ -112,16 +125,14 @@ def main(argv=None):
 
     from beom_tpu.io import config as ioconfig
     if args.case.endswith(".toml"):
-        cfg = ioconfig.load_toml(args.case, args.set)
-        from beom_tpu.cases import double_gyre  # default geometry host
-        raise SystemExit(
-            "TOML runs need a case geometry; use [case] in the TOML")
-    from beom_tpu.cases import make_case
-    over = dict(kv.split("=", 1) for kv in args.set)
-    cfg, grid, forcing, state = make_case(args.case)
-    if over:
-        import dataclasses
-        cfg = ioconfig.apply_overrides(cfg, args.set)
+        cfg, grid, forcing, state = ioconfig.load_toml_case(
+            args.case, args.set)
+    else:
+        from beom_tpu.cases import make_case
+        # overrides feed the factory itself so grid-shaping keys (nx,
+        # ny, ...) stay consistent with the built arrays
+        cfg, grid, forcing, state = make_case(
+            args.case, **ioconfig.parse_overrides(args.set))
     run(cfg, grid, forcing, state, args.steps, run_dir=args.out)
 
 

@@ -44,6 +44,29 @@ def test_overrides():
         ioconfig.apply_overrides(cfg, ["just-a-string"])
 
 
+def test_toml_case_run(tmp_path):
+    """A TOML with `case = "<name>"` is a complete runnable experiment
+    (VERDICT r1 item 7): geometry keys reach the factory, CLI-style
+    overrides fold in before the arrays are built."""
+    p = tmp_path / "run.toml"
+    p.write_text('case = "double_gyre"\nnx = 32\nny = 32\n'
+                 'nu2 = 500.0\ndtype = "float64"\n')
+    cfg, grid, forcing, state = ioconfig.load_toml_case(
+        p, overrides=["ny=24"])
+    assert (cfg.nx, cfg.ny, cfg.nu2) == (32, 24, 500.0)
+    assert grid.mask.shape == (24, 32)
+    out = run(cfg, grid, forcing, state, 10, log=open(os.devnull, "w"))
+    assert int(out.n) == 10
+    # the CLI entry accepts the .toml directly
+    from beom_tpu.run import main
+    main([str(p), "-n", "5", "--set", "nx=16", "--set", "ny=16"])
+    # a TOML without a case is not runnable
+    q = tmp_path / "bare.toml"
+    q.write_text("nx = 16\n")
+    with pytest.raises(ValueError, match="case"):
+        ioconfig.load_toml_case(q)
+
+
 def test_snapshot_restart_bit_exact(tmp_path):
     """Resume must reproduce the uninterrupted trajectory exactly
     (same backend, same dtype) — SURVEY.md §6 checkpoint/resume."""
