@@ -6,6 +6,11 @@ and red-black sweeps/s on the rigid-lid operator.
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))   # runnable as python bench/<x>.py
+
 import json
 import sys
 import time

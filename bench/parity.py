@@ -12,6 +12,11 @@ f32 drift against op-order noise, SURVEY.md §8 hard part 4).
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))   # runnable as python bench/<x>.py
+
 import json
 import sys
 
@@ -25,9 +30,15 @@ def run_one(case, n_steps=10000, nx=64, dtype="float32"):
     import jax
 
     kw = dict(nx=nx, ny=nx)
-    if case == "shelf_forced" or case == "coastal_wetdry":
+    # scheme variants of the canonical geometries: all four time-stepping
+    # schemes get the full protocol (r1 VERDICT item 4)
+    variants = {"split_gyre": ("double_gyre", dict(scheme="split", nsub=8)),
+                "implicit_fs": ("rigid_lid", dict(scheme="implicit_fs"))}
+    geom, extra = variants.get(case, (case, {}))
+    kw.update(extra)
+    if geom in ("shelf_forced", "coastal_wetdry"):
         kw["ny"] = max(nx * 2 // 3, 16)
-    cfg, grid, forcing, state = make_case(case, dtype=dtype, **kw)
+    cfg, grid, forcing, state = make_case(geom, dtype=dtype, **kw)
 
     out = jax.jit(lambda s: run_steps(s, grid, forcing, cfg, n_steps))(state)
     h = np.asarray(out.h, np.float64)
@@ -56,7 +67,7 @@ def main(argv):
     dtype = argv[4] if len(argv) > 4 else "float32"
     cases = ([case] if case != "all" else
              ["double_gyre", "two_layer", "rigid_lid", "coastal_wetdry",
-              "shelf_forced"])
+              "shelf_forced", "split_gyre", "implicit_fs"])
     for c in cases:
         print(json.dumps(run_one(c, n, nx, dtype)), flush=True)
 

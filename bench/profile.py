@@ -9,6 +9,11 @@ upload the .perfetto-trace to ui.perfetto.dev.
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))   # runnable as python bench/<x>.py
+
 import sys
 
 import jax

@@ -11,6 +11,11 @@ measures the ICI halo-exchange overhead directly.
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))   # runnable as python bench/<x>.py
+
 import json
 import sys
 import time

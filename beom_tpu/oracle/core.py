@@ -190,7 +190,12 @@ class Oracle:
         h1 = self.clamp(h1, t + dt)
 
         u1, v1 = self.momentum(h1, u, v, n)
+        u1, v1 = self._finalize(h1, u1, v1, t + dt)
+        return h1, u1, v1, n + 1, t + dt
 
+    def _finalize(self, h1, u1, v1, t1):
+        """Shared step tail: wet/dry velocity gating + Flather OBC."""
+        c = self.cfg
         if c.wetdry:
             wet = ((h1 > c.h_dry).astype(F)) * self.m
             for w, mw, sh in ((u1, self.mu, _xp), (v1, self.mv, _yp)):
@@ -198,15 +203,15 @@ class Oracle:
                 gated = wl * wr * w + wl * (1 - wr) * np.maximum(w, 0) \
                     + wr * (1 - wl) * np.minimum(w, 0)
                 w[:] = mw * gated
+        return self.flather(h1, u1, v1, t1)
 
-        u1, v1 = self.flather(h1, u1, v1, t + dt)
-        return h1, u1, v1, n + 1, t + dt
+    # ---- momentum update (shared by FB, split and projection stepping) -
 
-    # ---- momentum update (shared by FB and projection stepping) --------
-
-    def momentum(self, h1, u, v, n, free_surface=True):
+    def _tendencies(self, h1, u, v, free_surface=True):
+        """Everything of the momentum RHS except the Coriolis/PV cross
+        terms and the implicit-drag division: returns
+        (du, dv, q, U, V, cu, cv, linear)."""
         c = self.cfg
-        dt = c.dt
         M = self.montgomery(h1, free_surface=free_surface)
         linear = c.adv_scheme == "linear"
         if linear:
@@ -265,6 +270,13 @@ class Oracle:
             sp_v = np.sqrt(v[-1] ** 2 + u4 ** 2)
             cu[-1] = (c.r_bot + c.cd_bot * sp_u) / hu
             cv[-1] = (c.r_bot + c.cd_bot * sp_v) / hv
+        return du, dv, q, U, V, cu, cv, linear
+
+    def momentum(self, h1, u, v, n, free_surface=True):
+        c = self.cfg
+        dt = c.dt
+        du, dv, q, U, V, cu, cv, linear = self._tendencies(
+            h1, u, v, free_surface=free_surface)
 
         def upd_u(vv, VV):
             if linear:
@@ -296,27 +308,34 @@ class Oracle:
     # ---- rigid-lid projection stepping (mirror of
     # stepping/projection.py rigid_lid_step) ----------------------------
 
-    def solve_neumann(self, b, tol=1e-13, maxiter=5000):
-        """Plain CG on div(H_face grad p) = b with wet-constant
-        deflation; independent of solvers/elliptic.py."""
+    def solve_neumann(self, b, tol=1e-13, maxiter=5000, lam=0.0, x0=None):
+        """Plain CG on div(H_face grad p) - lam p = b; wet-constant
+        deflation in the pure-Neumann (lam=0) case.  Independent of
+        solvers/elliptic.py."""
         c = self.cfg
         Hu = self.mu * 0.5 * (self.H + _xp(self.H))
         Hv = self.mv * 0.5 * (self.H + _yp(self.H))
-        rdx2, rdy2 = self.rdx ** 2, self.rdy ** 2
 
         def A(p):
             gx = Hu * (_xp(p) - p) * self.rdx
             gy = Hv * (_yp(p) - p) * self.rdy
-            return ((gx - _xm(gx)) * self.rdx
-                    + (gy - _ym(gy)) * self.rdy) * self.m
+            out = ((gx - _xm(gx)) * self.rdx
+                   + (gy - _ym(gy)) * self.rdy)
+            if lam != 0.0:
+                out = out - lam * p
+            return out * self.m
 
         nwet = self.m.sum()
 
-        def deflate(x):
-            return (x - self.m * (x * self.m).sum() / nwet) * self.m
+        if lam == 0.0:
+            def deflate(x):
+                return (x - self.m * (x * self.m).sum() / nwet) * self.m
+        else:
+            def deflate(x):
+                return x * self.m
 
         b = deflate(b)
-        x = np.zeros_like(b)
+        x = np.zeros_like(b) if x0 is None else deflate(x0.copy())
         r = deflate(b - A(x))
         p = r.copy()
         rr = (r * r).sum()
@@ -352,11 +371,101 @@ class Oracle:
         dh = -((Fx - _xm(Fx)) * self.rdx
                + (Fy - _ym(Fy)) * self.rdy) * self.m
         h1 = (h + dt * dh) * self.m
+        u1, v1 = self._finalize(h1, u1, v1, t + dt)
+        return h1, u1, v1, n + 1, t + dt
+
+    # ---- implicit free surface (mirror of SURVEY.md §1.3 item 3 /
+    # stepping/projection.implicit_fs_step) ------------------------------
+
+    def step_implicit(self, h, u, v, n, t):
+        c = self.cfg
+        dt = c.dt
+        eta_n = (h.sum(0) - self.H) * self.m
+        us, vs = self.momentum(h, u, v, n, free_surface=False)
+
+        U = (0.5 * (h + _xp(h)) * us).sum(0) * self.mu
+        V = (0.5 * (h + _yp(h)) * vs).sum(0) * self.mv
+        divU = ((U - _xm(U)) * self.rdx + (V - _ym(V)) * self.rdy) * self.m
+        lam = 1.0 / (c.g * dt * dt)
+        b = -lam * (eta_n - dt * divU)
+        eta1 = self.solve_neumann(b, lam=lam, x0=eta_n)
+
+        u1 = (us - c.g * dt * ((_xp(eta1) - eta1) * self.rdx)[None]) * self.mu
+        v1 = (vs - c.g * dt * ((_yp(eta1) - eta1) * self.rdy)[None]) * self.mv
+
+        Fx, Fy = self.fluxes(h, u1, v1)
+        dh = -((Fx - _xm(Fx)) * self.rdx
+               + (Fy - _ym(Fy)) * self.rdy) * self.m
+        h1 = (h + dt * dh) * self.m
+        u1, v1 = self._finalize(h1, u1, v1, t + dt)
+        return h1, u1, v1, n + 1, t + dt
+
+    # ---- split barotropic/baroclinic stepping (SURVEY.md §1.3 item 2;
+    # mirror of stepping/split.py) ---------------------------------------
+
+    def step_split(self, h, u, v, n, t):
+        c = self.cfg
+        dt = c.dt
+        dte = dt / c.nsub
+
+        # slow phase: full momentum RHS at time n, surface term excluded
+        du_s, dv_s, q, U, V, cu, cv, linear = self._tendencies(
+            h, u, v, free_surface=False)
+        # PV cross terms at time n (no FB alternation in the slow phase);
+        # in linear mode q is already the broadcast f_q and U,V = u,v
+        tu = q * 0.5 * (V + _xp(V))
+        du_s = du_s + 0.5 * (tu + _ym(tu))
+        tv = q * 0.5 * (U + _yp(U))
+        dv_s = dv_s - 0.5 * (tv + _xm(tv))
+
+        hu = 0.5 * (h + _xp(h)) * self.mu
+        hv = 0.5 * (h + _yp(h)) * self.mv
+        Hu = np.maximum(hu.sum(0), c.h_min)
+        Hv = np.maximum(hv.sum(0), c.h_min)
+        ubar = (hu * u).sum(0) / Hu
+        vbar = (hv * v).sum(0) / Hv
+        du_bar = (hu * du_s).sum(0) / Hu
+        dv_bar = (hv * dv_s).sum(0) / Hv
+        up, vp = u - ubar[None], v - vbar[None]
+        du_p, dv_p = du_s - du_bar[None], dv_s - dv_bar[None]
+        eta = (h.sum(0) - self.H) * self.m
+
+        # barotropic FB subcycle, accumulating the subcycle-mean flow
+        ub, vb = ubar.copy(), vbar.copy()
+        su = np.zeros_like(ub)
+        sv = np.zeros_like(vb)
+        for _ in range(c.nsub):
+            Ue, Ve = Hu * ub, Hv * vb
+            div = (Ue - _xm(Ue)) * self.rdx + (Ve - _ym(Ve)) * self.rdy
+            eta = (eta - dte * div) * self.m
+            ub = (ub + dte * (-c.g * (_xp(eta) - eta) * self.rdx
+                              + du_bar)) * self.mu
+            vb = (vb + dte * (-c.g * (_yp(eta) - eta) * self.rdy
+                              + dv_bar)) * self.mv
+            su += ub
+            sv += vb
+
+        # recompose layers; advect h with the time-averaged barotropic flow
+        u1 = ((up + dt * du_p + ub[None]) / (1.0 + dt * cu)) * self.mu
+        v1 = ((vp + dt * dv_p + vb[None]) / (1.0 + dt * cv)) * self.mv
+        u_adv = (up + (su / c.nsub)[None]) * self.mu
+        v_adv = (vp + (sv / c.nsub)[None]) * self.mv
+        Fx, Fy = self.fluxes(h, u_adv, v_adv)
+        dh = -((Fx - _xm(Fx)) * self.rdx
+               + (Fy - _ym(Fy)) * self.rdy) * self.m
+        h1 = (h + dt * dh) * self.m
+
+        col = np.maximum(h1.sum(0), c.h_min)
+        target = np.maximum(self.H + eta, 0.0) * self.m
+        h1 = h1 * np.where(col > c.h_min, target / col, 1.0)[None]
+
+        u1, v1 = self._finalize(h1, u1, v1, t + dt)
         return h1, u1, v1, n + 1, t + dt
 
     def run(self, h, u, v, n_steps, n0=0, t0=0.0):
-        step = (self.step_rigid if self.cfg.scheme == "rigid_lid"
-                else self.step)
+        step = {"fb": self.step, "split": self.step_split,
+                "rigid_lid": self.step_rigid,
+                "implicit_fs": self.step_implicit}[self.cfg.scheme]
         h = np.asarray(h, F).copy()
         u = np.asarray(u, F).copy()
         v = np.asarray(v, F).copy()

@@ -45,6 +45,22 @@ def test_parity_rigid_lid():
             solver_tol=1e-13, solver_maxiter=5000)
 
 
+def test_parity_split():
+    # the split scheme now has its own oracle stepper (r1 VERDICT item 4)
+    _parity("double_gyre", 300, 1e-7, 1e-10, nx=32, ny=32,
+            scheme="split", nsub=4)
+
+
+def test_parity_split_two_layer():
+    _parity("two_layer", 200, 1e-7, 1e-10, nx=32, ny=32,
+            scheme="split", nsub=4)
+
+
+def test_parity_implicit_fs():
+    _parity("rigid_lid", 200, 1e-5, 1e-8, nx=32, ny=32,
+            scheme="implicit_fs", solver_tol=1e-13, solver_maxiter=5000)
+
+
 def test_parity_coastal_wetdry():
     _parity("coastal_wetdry", 400, 1e-7, 1e-9, nx=48, ny=32)
 
