@@ -46,6 +46,13 @@ class Config:
     solver_tol: float = 1.0e-10   # relative residual tolerance
     solver_maxiter: int = 500
     sor_omega: float = 1.7        # red-black SOR relaxation factor
+    precond: str = "auto"         # CG preconditioner: 'auto' | 'jacobi'
+                                  # | 'ssor' | 'mg' (geometric V-cycle);
+                                  # auto = mg for the pure-Neumann
+                                  # rigid-lid solve, jacobi for the
+                                  # (well-conditioned) Helmholtz solve
+    precond_sweeps: int = 1       # symmetric red-black sweeps per apply
+    warm_start: bool = True       # carry phi across steps as CG x0
 
     # --- physics coefficients (C5-C9) ---
     adv_scheme: str = "sadourny_energy"   # 'sadourny_energy' | 'linear'
@@ -100,6 +107,8 @@ class Config:
             raise ValueError("nx/ny must divide evenly over the device mesh")
         if self.halo_impl not in ("ppermute", "rdma"):
             raise ValueError(f"unknown halo_impl {self.halo_impl!r}")
+        if self.precond not in ("auto", "jacobi", "ssor", "mg"):
+            raise ValueError(f"unknown precond {self.precond!r}")
 
     # -- derived, all static Python values ------------------------------
 

@@ -26,6 +26,12 @@ class State:
     v: jax.Array   # (nz, ny, nx) y-velocity at v points [m/s]
     t: jax.Array   # () model time [s]
     n: jax.Array   # () step counter, int32
+    # (ny, nx) previous elliptic solution (surface pressure phi /
+    # eta^{n+1}) carried as the next solve's warm start — None for the
+    # explicit schemes (None = empty pytree subtree, so fb/split
+    # trajectories keep their 5-leaf structure).  Populated by
+    # stepping.prepare_state before any projection-scheme scan.
+    phi: object = None
 
     def replace(self, **kw) -> "State":
         return dataclasses.replace(self, **kw)

@@ -29,17 +29,19 @@ from beom_tpu.core.state import State
 
 
 def save_state(path, state: State) -> None:
+    extra = {} if state.phi is None else {"phi": np.asarray(state.phi)}
     np.savez_compressed(
         path,
         h=np.asarray(state.h), u=np.asarray(state.u), v=np.asarray(state.v),
-        t=np.asarray(state.t), n=np.asarray(state.n))
+        t=np.asarray(state.t), n=np.asarray(state.n), **extra)
 
 
 def load_state(path) -> State:
     with np.load(path) as z:
+        phi = jnp.asarray(z["phi"]) if "phi" in z.files else None
         return State(h=jnp.asarray(z["h"]), u=jnp.asarray(z["u"]),
                      v=jnp.asarray(z["v"]), t=jnp.asarray(z["t"]),
-                     n=jnp.asarray(z["n"]))
+                     n=jnp.asarray(z["n"]), phi=phi)
 
 
 def snap_path(run_dir, step: int) -> str:

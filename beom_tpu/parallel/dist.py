@@ -156,16 +156,39 @@ def _dist_redblack(b, grid_l: Grid, grid_p1: Grid, cfg: Config, lam=0.0,
     return jax.lax.fori_loop(0, cfg.solver_maxiter, sweep, x)
 
 
+def _global_checkerboard(shape, dtype):
+    """Red cells of the *global* checkerboard on this local block."""
+    ny_l, nx_l = shape[-2:]
+    oy = jax.lax.axis_index("y") * ny_l
+    ox = jax.lax.axis_index("x") * nx_l
+    jj = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 2) + oy
+    ii = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1) + ox
+    return (((ii + jj) % 2) == 0).astype(dtype)
+
+
 def _dist_solve(b, grid_l: Grid, grid_p1: Grid, cfg: Config, lam=0.0,
                 x0=None):
     if cfg.solver == "redblack":
         return _dist_redblack(b, grid_l, grid_p1, cfg, lam=lam, x0=x0)
+    kw = {}
+    pre = cfg.precond
+    if pre == "auto":
+        pre = "ssor" if lam == 0.0 else "jacobi"
+    if pre in ("ssor", "mg"):
+        # 'mg' falls back to SSOR here: V-cycle levels below the shard
+        # size would need cross-shard coarsening (docs/COMPONENTS.md)
+        red = _global_checkerboard(b.shape, b.dtype) * grid_l.mask
+        kw["precond"] = elliptic.make_ssor_precond(
+            grid_p1, cfg, lam=lam,
+            pad1=lambda a: halo.pad2d(a, 1),
+            crop1=lambda a: halo.crop2d(a, 1), red=red)
     _, inv_diag_p1 = elliptic.jacobi_diag(grid_p1, cfg, lam)
     res = elliptic.cg_solve(
         b, grid_l, cfg, x0=x0, lam=lam, dot=halo.dist_dot,
+        dots=halo.dist_dots,
         matvec=functools.partial(_cg_matvec, grid_p1=grid_p1, cfg=cfg,
                                  lam=lam),
-        inv_diag=halo.crop2d(inv_diag_p1, 1))
+        inv_diag=halo.crop2d(inv_diag_p1, 1), **kw)
     return res.x
 
 
@@ -193,19 +216,21 @@ def _dist_projection_step(state: State, pgrid: Grid, pforcing: Forcing,
     divU_p = (ops.d_xm(Up, cfg.dx) + ops.d_ym(Vp, cfg.dy)) * pgrid.mask
     divU = halo.crop2d(divU_p, w)
 
+    warm = state.phi if cfg.warm_start else None
     if rigid:
         anom = (jnp.sum(state.h, axis=0) - grid_l.H) * grid_l.mask
         anom = anom - grid_l.mask * (halo.dist_dot(anom, grid_l.mask)
                                      / halo.dist_dot(grid_l.mask,
                                                      grid_l.mask))
         rhs = (divU - anom / dt) / dt
-        phi = _dist_solve(rhs, grid_l, grid_p1, cfg)
+        phi = _dist_solve(rhs, grid_l, grid_p1, cfg, x0=warm)
         gfac = dt
     else:
         eta_n = (jnp.sum(state.h, axis=0) - grid_l.H) * grid_l.mask
         lam = 1.0 / (cfg.g * dt * dt)
         rhs = -lam * (eta_n - dt * divU)
-        phi = _dist_solve(rhs, grid_l, grid_p1, cfg, lam=lam, x0=eta_n)
+        phi = _dist_solve(rhs, grid_l, grid_p1, cfg, lam=lam,
+                          x0=eta_n if warm is None else warm)
         gfac = cfg.g * dt
 
     # --- barotropic correction (1-halo gradient) ------------------------
@@ -218,8 +243,9 @@ def _dist_projection_step(state: State, pgrid: Grid, pforcing: Forcing,
     v1 = (v_s - gfac * dphiy[None]) * grid_l.mask_v
 
     # --- layer continuity + finalize on a small pad ---------------------
-    return _dist_continuity_finalize(state, state.h, u1, v1, pgrid,
-                                     pforcing, cfg, w)
+    out = _dist_continuity_finalize(state, state.h, u1, v1, pgrid,
+                                    pforcing, cfg, w)
+    return out.replace(phi=phi) if state.phi is not None else out
 
 
 def _dist_continuity_finalize(state: State, h, u1, v1, pgrid: Grid,
@@ -289,6 +315,109 @@ def _dist_split_step(state: State, pgrid: Grid, pforcing: Forcing,
                                      pforcing, cfg, w, h1_override=h1)
 
 
+def make_dist_pallas_stepper(grid: Grid, forcing: Forcing, cfg: Config,
+                             mesh, n_inner: int = 1,
+                             by=None) -> Callable:
+    """The composed tier: fused Pallas band kernels on each shard with
+    in-kernel RDMA y-halo exchange overlapped with interior band
+    compute (stencils/dist_band.py; SURVEY.md §8 Phase 4).  fb and
+    split schemes; the x halo (when mesh_x > 1) is one ppermute
+    pad_axis per step outside the kernel."""
+    from beom_tpu.stencils import fused_fb
+    from beom_tpu.stencils.band import static_fields
+    from beom_tpu.stencils.dist_band import (make_dist_band_call,
+                                             neighbour_coords)
+    from beom_tpu.stepping import split as split_mod
+
+    if cfg.scheme not in ("fb", "split"):
+        raise ValueError("dist pallas stepper implements fb/split")
+    NY, NX = mesh.shape["y"], mesh.shape["x"]
+    ny_l, nx_l = cfg.ny // NY, cfg.nx // NX
+    wy = fused_fb._halo_y(cfg)
+    wx = wy if NX > 1 else 0
+    nxp = nx_l + 2 * wx
+    if ny_l < 2 * wy + 8:
+        raise ValueError(
+            f"local block of {ny_l} rows cannot hold the {wy}-row halo "
+            "twice; use fewer y-devices or a larger grid")
+    nz, dt = cfg.nz, cfg.npdtype
+    interpret = jax.default_backend() != "tpu"
+
+    def body(f, grid_t, forcing_t, scal):
+        n, t = scal
+        s = State(h=f["h"], u=f["u"], v=f["v"], t=t, n=n)
+        if cfg.scheme == "split":
+            out = split_mod.split_step(s, grid_t, forcing_t, cfg)
+        else:
+            out = fb_mod.fb_step(s, grid_t, forcing_t, cfg)
+        return out.h, out.u, out.v
+
+    # stream the staggered masks / f_q too: in-kernel reconstruction
+    # would need the shard's global row offset (and the single-chip
+    # measurement favouring reconstruction is specific to its wrap DMA)
+    statics = {**static_fields(grid, forcing, cfg),
+               "mask_u": grid.mask_u, "mask_v": grid.mask_v,
+               "mask_q": grid.mask_q, "f_q": grid.f_q}
+    dyn_ex = {k: jax.ShapeDtypeStruct((nz, ny_l, nxp), dt)
+              for k in ("h", "u", "v")}
+
+    def padded_static_ex(a):
+        lead = a.shape[:-2]
+        return jax.ShapeDtypeStruct(lead + (ny_l + 2 * wy, nxp), dt)
+
+    static_ex = {k: padded_static_ex(a) for k, a in statics.items()}
+
+    call = make_dist_band_call(
+        cfg, body, dyn_ex, static_ex,
+        out_leads=((nz,), (nz,), (nz,)),
+        wy=wy, ny_l=ny_l, nxp=nxp, NY=NY, by=by, interpret=interpret,
+        band_target=128 if cfg.scheme == "split" else 256)
+
+    def pad_yx(a):
+        a = halo.pad_axis(a, wy, a.ndim - 2, "y")
+        if wx:
+            a = halo.pad_axis(a, wx, a.ndim - 1, "x")
+        return a
+
+    def shard_step(state, *static_vals):
+        nbr = neighbour_coords()
+        pstat = [pad_yx(a) for a in static_vals]
+
+        def body_scan(s, _):
+            h, u, v = s.h, s.u, s.v
+            if wx:
+                h = halo.pad_axis(h, wx, -1, "x")
+                u = halo.pad_axis(u, wx, -1, "x")
+                v = halo.pad_axis(v, wx, -1, "x")
+            scal = jax.lax.pvary(
+                jnp.stack([s.n.astype(dt), s.t.astype(dt)]), ("y", "x"))
+            h1, u1, v1 = call(scal, nbr, h, u, v, *pstat)
+            if wx:
+                h1 = h1[..., wx:wx + nx_l]
+                u1 = u1[..., wx:wx + nx_l]
+                v1 = v1[..., wx:wx + nx_l]
+            return State(h=h1, u=u1, v=v1, t=s.t + cfg.dt,
+                         n=s.n + 1), None
+
+        state, _ = jax.lax.scan(body_scan, state, None, length=n_inner)
+        return state
+
+    state_specs = State(h=SPEC3, u=SPEC3, v=SPEC3, t=P(), n=P())
+    static_specs = tuple(spec_for(a) for a in statics.values())
+    fn = shard_map(shard_step, mesh=mesh,
+                   in_specs=(state_specs,) + static_specs,
+                   out_specs=state_specs)
+    static_sharded = tuple(
+        jax.device_put(a, jax.sharding.NamedSharding(mesh, spec_for(a)))
+        for a in statics.values())
+
+    @jax.jit
+    def step_fn(state):
+        return fn(state, *static_sharded)
+
+    return step_fn
+
+
 def make_dist_stepper(grid: Grid, forcing: Forcing, cfg: Config, mesh,
                       n_inner: int = 1) -> Callable:
     """Build jit(shard_map(step)) over mesh ('y', 'x').
@@ -297,6 +426,9 @@ def make_dist_stepper(grid: Grid, forcing: Forcing, cfg: Config, mesh,
     (lax.scan inside the shard_map, so halos ride ICI between scan
     iterations without leaving the compiled program).
     """
+    if cfg.backend == "pallas" and cfg.scheme in ("fb", "split"):
+        return make_dist_pallas_stepper(grid, forcing, cfg, mesh,
+                                        n_inner=n_inner)
     w = max(cfg.halo, required_halo(cfg))
     ny_l = cfg.ny // mesh.shape["y"]
     nx_l = cfg.nx // mesh.shape["x"]
@@ -313,7 +445,11 @@ def make_dist_stepper(grid: Grid, forcing: Forcing, cfg: Config, mesh,
     else:
         inner = functools.partial(_dist_padded_step, cfg=cfg, w=w)
 
-    state_specs = State(h=SPEC3, u=SPEC3, v=SPEC3, t=P(), n=P())
+    from beom_tpu.stepping import prepare_state
+    carries_phi = (cfg.scheme in ("rigid_lid", "implicit_fs")
+                   and cfg.warm_start)
+    state_specs = State(h=SPEC3, u=SPEC3, v=SPEC3, t=P(), n=P(),
+                        phi=SPEC2 if carries_phi else None)
     specs_g = jax.tree.map(spec_for, pgrid)
     specs_f = jax.tree.map(spec_for, pforcing)
 
@@ -333,6 +469,7 @@ def make_dist_stepper(grid: Grid, forcing: Forcing, cfg: Config, mesh,
 
     @jax.jit
     def step_fn(state):
+        state = prepare_state(state, cfg)   # attach phi carry if needed
         return fn(state, pgrid, pforcing)
 
     return step_fn

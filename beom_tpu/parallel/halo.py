@@ -87,3 +87,10 @@ def psum2(x):
 def dist_dot(a, b):
     """Global dot product of *unpadded* local blocks (CG reductions)."""
     return psum2(jnp.sum(a * b))
+
+
+def dist_dots(pairs):
+    """Batched global dots with ONE psum of the stacked partial sums —
+    the whole CG iteration's reduction traffic in a single allreduce
+    (SURVEY.md §8 hard part 2; solvers/elliptic.cg_solve `dots`)."""
+    return psum2(jnp.stack([jnp.sum(a * b) for a, b in pairs]))

@@ -53,6 +53,9 @@ def run(cfg: Config, grid: Grid, forcing: Forcing, state: State,
             print(f"# resumed from {resume} at step {int(state.n)}",
                   file=log)
 
+    from beom_tpu.stepping import prepare_state
+    state = prepare_state(state, cfg)   # warm-start carry for projection
+
     dist = cfg.mesh_x * cfg.mesh_y > 1
     if dist:
         from beom_tpu.parallel.dist import make_dist_stepper

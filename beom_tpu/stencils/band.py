@@ -15,10 +15,11 @@ Every stencil kernel in this package shares one memory plan:
 `make_band_call(...)` packages that plan around an arbitrary
 `body(f, grid_t, forcing_t, scal) -> tuple of arrays`: `f` maps field
 name -> haloed VMEM block, `grid_t`/`forcing_t` are band-local Grid /
-Forcing pytrees (staggered masks and the beta-plane f reconstructed
-in-kernel from the centre mask and the global row index), and `scal`
-is the (n, t) step scalars from SMEM.  fused_fb.py (fb/split schemes)
-and fused_projection.py (rigid-lid / implicit-FS phases) are both
+Forcing pytrees (every static field streamed as an operand — the
+kernels are VPU-bound, so recomputing masks/f in-kernel would cost the
+binding resource to save the spare one), and `scal` is the (n, t) step
+scalars from SMEM.  fused_fb.py (fb/split schemes) and
+fused_projection.py (rigid-lid / implicit-FS phases) are both
 instances.
 """
 
@@ -32,7 +33,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from beom_tpu.core import ops
 from beom_tpu.core.config import Config
 from beom_tpu.core.grid import Grid, Forcing
 
@@ -48,7 +48,16 @@ def choose_band(ny: int, target: int) -> int:
 
 def static_fields(grid: Grid, forcing: Forcing, cfg: Config) -> dict:
     """The grid/forcing arrays streamed to every band kernel: always
-    H/mask/taux/tauy, plus sponge/OBC/tide operands when enabled."""
+    H/mask/taux/tauy, plus sponge/OBC/tide operands when enabled.
+
+    The staggered masks and beta-plane f are RECOMPUTED in-kernel from
+    the centre mask (band_grid_forcing), not streamed: streaming them
+    as four extra operands was measured 8% SLOWER on the 2048^2 fb
+    bench (4.37 vs 4.74 G pt/s) — the kernel sits close to both the
+    VPU and HBM ceilings, and the extra DMA outweighs the ~15 vector
+    ops/pt it saves.  The distributed kernel (stencils/dist_band.py)
+    streams them instead, since shard-local reconstruction would need
+    global row offsets in-kernel."""
     fields = {"H": grid.H, "mask": grid.mask,
               "taux": forcing.taux, "tauy": forcing.tauy}
     if cfg.sponge:
@@ -65,29 +74,39 @@ def static_fields(grid: Grid, forcing: Forcing, cfg: Config) -> dict:
     return fields
 
 
-def band_grid_forcing(f: dict, cfg: Config, i, by: int, rows: int):
-    """Reconstruct band-local Grid/Forcing from the haloed blocks:
-    staggered masks from the centre mask, beta-plane f at corners from
-    the global row index (exactly the make_grid formulas)."""
-    nz, ny, nx = cfg.nz, cfg.ny, cfg.nx
-    mb = f["mask"]
-    mu = mb * ops.sxp(mb)
-    mv = mb * ops.syp(mb)
-    mq = mu * ops.sxp(ops.syp(mb)) * ops.syp(mb)
-    dt32 = mb.dtype
-    wy = (rows - by) // 2
-    j_global = (jax.lax.broadcasted_iota(jnp.int32, (rows, nx), 0)
-                + i * by - wy)
-    j_global = jnp.where(j_global < 0, j_global + ny,
-                         jnp.where(j_global >= ny, j_global - ny,
-                                   j_global))
-    y_q = (j_global.astype(dt32) + 0.5) * cfg.dy
-    fq = cfg.f0 + cfg.beta * y_q
+def band_grid_forcing(f: dict, cfg: Config, i=None, by=None, rows=None):
+    """Assemble band-local Grid/Forcing from the haloed operand blocks.
 
-    grid_t = Grid(H=f["H"], mask=mb, mask_u=mu, mask_v=mv, mask_q=mq,
-                  f_q=fq)
+    If the staggered masks / f_q are streamed (distributed kernel),
+    they are used directly; otherwise they are reconstructed from the
+    centre mask and the global row index i*by - wy (the make_grid
+    formulas; single-chip kernels — see static_fields for why)."""
+    from beom_tpu.core import ops
+
+    mb = f["mask"]
+    rows, nx = mb.shape
+    dt32 = mb.dtype
+    if "mask_u" in f:
+        grid_t = Grid(H=f["H"], mask=mb, mask_u=f["mask_u"],
+                      mask_v=f["mask_v"], mask_q=f["mask_q"],
+                      f_q=f["f_q"])
+    else:
+        mu = mb * ops.sxp(mb)
+        mv = mb * ops.syp(mb)
+        mq = mu * ops.sxp(ops.syp(mb)) * ops.syp(mb)
+        ny = cfg.ny
+        wy = (rows - by) // 2
+        j_global = (jax.lax.broadcasted_iota(jnp.int32, (rows, nx), 0)
+                    + i * by - wy)
+        j_global = jnp.where(j_global < 0, j_global + ny,
+                             jnp.where(j_global >= ny, j_global - ny,
+                                       j_global))
+        y_q = (j_global.astype(dt32) + 0.5) * cfg.dy
+        fq = cfg.f0 + cfg.beta * y_q
+        grid_t = Grid(H=f["H"], mask=mb, mask_u=mu, mask_v=mv,
+                      mask_q=mq, f_q=fq)
     zc = jnp.zeros((max(len(cfg.tides), 1), rows, nx), dt32)
-    z3 = jnp.zeros((nz, rows, nx), dt32)
+    z3 = jnp.zeros((cfg.nz, rows, nx), dt32)
     z2 = jnp.zeros((rows, nx), dt32)
     forcing_t = Forcing(
         taux=f["taux"], tauy=f["tauy"],

@@ -116,13 +116,24 @@ def make_pallas_projection_stepper(
             max_passes=max(1, cfg.solver_maxiter // k_sweeps),
             interpret=interpret)
     else:
+        kw = {}
+        pre = cfg.precond
+        if pre == "auto":
+            pre = "mg" if lam == 0.0 else "jacobi"
+        if pre == "ssor":
+            kw["precond"] = elliptic.make_ssor_precond(grid, cfg, lam=lam)
+        elif pre == "mg":
+            from beom_tpu.solvers.multigrid import make_mg_precond
+            kw["precond"] = make_mg_precond(grid, cfg, lam=lam)
+
         def solve(b, x0=None):
-            return elliptic.cg_solve(b, grid, cfg, x0=x0, lam=lam).x
+            return elliptic.cg_solve(b, grid, cfg, x0=x0, lam=lam, **kw).x
 
     @jax.jit
     def step(state: State) -> State:
         scal = jnp.stack([state.n.astype(npdt), state.t.astype(npdt)])
         u_s, v_s, div = call_a(scal, state.h, state.u, state.v)
+        warm = state.phi if cfg.warm_start else None
 
         if rigid:
             # see stepping/projection.rigid_lid_step: the projection
@@ -132,14 +143,15 @@ def make_pallas_projection_stepper(
             anom = anom - grid.mask * (_local_dot(anom, grid.mask)
                                        / _local_dot(grid.mask, grid.mask))
             rhs = (div - anom / dt) / dt
-            p = solve(rhs)
+            p = solve(rhs, x0=warm)
         else:
             eta_n = (jnp.sum(state.h, axis=0) - grid.H) * grid.mask
             b = -lam * (eta_n - dt * div)
-            p = solve(b, x0=eta_n)
+            p = solve(b, x0=eta_n if warm is None else warm)
 
         h1, u1, v1 = call_b(scal, state.h, u_s, v_s, p)
         return State(h=h1, u=u1, v=v1, t=state.t + cfg.dt,
-                     n=state.n + 1)
+                     n=state.n + 1,
+                     phi=p if state.phi is not None else None)
 
     return step

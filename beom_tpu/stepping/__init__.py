@@ -12,6 +12,21 @@ import jax
 from beom_tpu.core.config import Config
 
 
+def prepare_state(state, cfg: Config):
+    """Attach the warm-start carry (State.phi) for projection schemes.
+
+    Must run before any scan/shard_map over a projection step so the
+    carry pytree structure is fixed (phi=None and phi=array are
+    different treedefs).  No-op for fb/split or when already attached.
+    """
+    if (cfg.scheme in ("rigid_lid", "implicit_fs") and cfg.warm_start
+            and state.phi is None):
+        import jax.numpy as jnp
+        return state.replace(phi=jnp.zeros(state.h.shape[1:],
+                                           state.h.dtype))
+    return state
+
+
 def get_step(cfg: Config):
     if cfg.scheme == "fb":
         from beom_tpu.stepping.fb import fb_step
@@ -55,6 +70,7 @@ def make_stepper(grid, forcing, cfg: Config):
 def run_steps(state, grid, forcing, cfg: Config, n_steps: int):
     """Advance n_steps of cfg.scheme inside one XLA program (lax.scan)."""
     step = get_step(cfg)
+    state = prepare_state(state, cfg)
 
     def body(s, _):
         return step(s, grid, forcing, cfg), None

@@ -71,13 +71,19 @@ def continuity_update(state: State, grid: Grid, forcing: Forcing,
 
 
 def momentum_update(h1, state: State, grid: Grid, forcing: Forcing,
-                    cfg: Config, free_surface: bool = True):
+                    cfg: Config, free_surface: bool = True,
+                    parity=None):
     """Steps 2-4 of FB: (u1, v1) from new thickness h1.
 
     Backward pressure M(h1), alternating FB-Coriolis sweeps keyed on the
     step parity, implicit bottom drag.  `free_surface=False` drops the
     g*eta surface-pressure term for the projection steppers
     (stepping/projection.py), which supply it via the elliptic solve.
+
+    parity: None (default) branches on state.n at runtime (lax.cond);
+    True/False pins the sweep order at trace time — the fused Pallas
+    kernels compile one kernel per parity so neither branch's work is
+    wasted in-kernel (stencils/fused_fb.py; r1 VERDICT item 5).
     """
     u, v = state.u, state.v
     dt = cfg.dt
@@ -108,7 +114,10 @@ def momentum_update(h1, state: State, grid: Grid, forcing: Forcing,
         u1 = upd_u(u, v1, V1)
         return u1, v1
 
-    u1, v1 = jax.lax.cond(state.n % 2 == 0, u_first, v_first, None)
+    if parity is None:
+        u1, v1 = jax.lax.cond(state.n % 2 == 0, u_first, v_first, None)
+    else:
+        u1, v1 = u_first(None) if parity else v_first(None)
     return u1, v1
 
 
@@ -124,9 +133,10 @@ def finalize(h1, u1, v1, state: State, grid: Grid, forcing: Forcing,
     return State(h=h1, u=u1, v=v1, t=t1, n=state.n + 1)
 
 
-def fb_step(state: State, grid: Grid, forcing: Forcing, cfg: Config) -> State:
+def fb_step(state: State, grid: Grid, forcing: Forcing, cfg: Config,
+            parity=None) -> State:
     h1 = continuity_update(state, grid, forcing, cfg)
-    u1, v1 = momentum_update(h1, state, grid, forcing, cfg)
+    u1, v1 = momentum_update(h1, state, grid, forcing, cfg, parity=parity)
     return finalize(h1, u1, v1, state, grid, forcing, cfg)
 
 

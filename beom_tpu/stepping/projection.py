@@ -53,6 +53,14 @@ def _solve(b, grid: Grid, cfg: Config, lam=0.0, x0=None,
     if cfg.solver == "redblack":
         return elliptic.redblack_solve(b, grid, cfg, x0=x0, lam=lam)
     kw = {} if dot is None else {"dot": dot}
+    pre = cfg.precond
+    if pre == "auto":   # measured: MG pays off only for pure Neumann
+        pre = "mg" if lam == 0.0 else "jacobi"
+    if pre == "ssor":
+        kw["precond"] = elliptic.make_ssor_precond(grid, cfg, lam=lam)
+    elif pre == "mg":
+        from beom_tpu.solvers.multigrid import make_mg_precond
+        kw["precond"] = make_mg_precond(grid, cfg, lam=lam)
     return elliptic.cg_solve(b, grid, cfg, x0=x0, lam=lam, **kw).x
 
 
@@ -88,7 +96,11 @@ def rigid_lid_step(state: State, grid: Grid, forcing: Forcing, cfg: Config,
                                / gsum(grid.mask, grid.mask))
     rhs = ((ops.d_xm(U, cfg.dx) + ops.d_ym(V, cfg.dy)) * grid.mask
            - anom / dt) / dt
-    phi = _solve(rhs, grid, cfg, dot=dot)
+    # warm start: phi varies slowly step-to-step; the previous solution
+    # (carried in State.phi, see stepping.prepare_state) recovers most
+    # of the convergence budget vs x0 = 0 (r1 VERDICT item 3)
+    x0 = state.phi if cfg.warm_start else None
+    phi = _solve(rhs, grid, cfg, dot=dot, x0=x0)
 
     dphix = grid.mask_u * ops.d_xp(phi, cfg.dx)
     dphiy = grid.mask_v * ops.d_yp(phi, cfg.dy)
@@ -100,7 +112,8 @@ def rigid_lid_step(state: State, grid: Grid, forcing: Forcing, cfg: Config,
     dh = continuity.continuity_rhs(state.h, u1, v1, grid, cfg)
     h1 = (state.h + dt * dh) * grid.mask
 
-    return fb.finalize(h1, u1, v1, state, grid, forcing, cfg)
+    out = fb.finalize(h1, u1, v1, state, grid, forcing, cfg)
+    return out.replace(phi=phi) if state.phi is not None else out
 
 
 def implicit_fs_step(state: State, grid: Grid, forcing: Forcing, cfg: Config,
@@ -119,7 +132,10 @@ def implicit_fs_step(state: State, grid: Grid, forcing: Forcing, cfg: Config,
     divU = (ops.d_xm(U, cfg.dx) + ops.d_ym(V, cfg.dy)) * grid.mask
     lam = 1.0 / (g * dt * dt)
     b = -lam * (eta_n - dt * divU)
-    eta1 = _solve(b, grid, cfg, lam=lam, x0=eta_n, dot=dot)
+    # warm start from the carried previous solve when available (it
+    # beats eta^n once the transient is gone), else from eta^n
+    x0 = state.phi if (cfg.warm_start and state.phi is not None) else eta_n
+    eta1 = _solve(b, grid, cfg, lam=lam, x0=x0, dot=dot)
 
     # 3. barotropic correction, same in every layer
     detx = grid.mask_u * ops.d_xp(eta1, cfg.dx)
@@ -131,4 +147,5 @@ def implicit_fs_step(state: State, grid: Grid, forcing: Forcing, cfg: Config,
     dh = continuity.continuity_rhs(state.h, u1, v1, grid, cfg)
     h1 = (state.h + dt * dh) * grid.mask
 
-    return fb.finalize(h1, u1, v1, state, grid, forcing, cfg)
+    out = fb.finalize(h1, u1, v1, state, grid, forcing, cfg)
+    return out.replace(phi=eta1) if state.phi is not None else out
