@@ -83,6 +83,27 @@ def main(argv):
         print(json.dumps({"solver": "redblack_pallas_blocked",
                           "error": f"{type(e).__name__}: {e}"}))
 
+    # --- time-to-solution: Jacobi-CG vs MG-CG at a fixed tolerance ----
+    import dataclasses
+    cfg_tol = dataclasses.replace(cfg, solver_tol=1e-6,
+                                  solver_maxiter=4000)
+    from beom_tpu.solvers.multigrid import make_mg_precond
+    for name, kw in (("cg_jacobi", {}),
+                     ("cg_mg", {"precond": make_mg_precond(grid, cfg_tol)})):
+        solve = jax.jit(lambda b, kw=kw: elliptic.cg_solve(
+            b, grid, cfg_tol, **kw))
+        r = solve(b)
+        jax.block_until_ready(r.x)
+        t0 = time.perf_counter()
+        r = solve(b)
+        jax.block_until_ready(r.x)
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "solver": name, "nx": nx, "ny": ny, "tol": 1e-6,
+            "iters": int(r.iters), "seconds": round(dt, 4),
+            "resnorm_rel": float(np.sqrt(r.resnorm
+                                         / float(jnp.sum(b * b))))}))
+
 
 if __name__ == "__main__":
     main(sys.argv)

@@ -27,7 +27,13 @@ def make_case(nx=128, ny=96, L=300e3, Hshelf=50.0, Hdeep=500.0,
     if dt is None:
         c = float(np.sqrt(9.81 * Hdeep))
         dt = 0.4 * dx / (np.sqrt(2.0) * c)
-    kw = dict(scheme="fb", wind=True, obc=True, sponge=True, tides=(M2,))
+    # wetdry=True: the upwelling-favourable wind OUTCROPS layer 1 at
+    # the coast after ~3000 steps; without the positive-definite flux
+    # limiter h_1 goes negative and the run blows up (found by the
+    # 10k-step parity protocol — the limiter is exactly the isopycnal-
+    # outcropping mechanism of SURVEY.md §1.4)
+    kw = dict(scheme="fb", wind=True, obc=True, sponge=True, tides=(M2,),
+              wetdry=True)
     kw.update(cfg_kw)
     cfg = Config(nx=nx, ny=ny, dx=dx, dy=dx, nz=2, rho=tuple(rho),
                  f0=f0, beta=0.0, dt=float(dt),

@@ -45,21 +45,26 @@ from beom_tpu.stepping.projection import barotropic_transport
 
 
 def required_halo(cfg: Config) -> int:
-    """Conservative stencil radius of one full step.
+    """Stencil radius of one full step, derived per enabled term and
+    validated by the one-step dependence-cone probe
+    (tests/dist/test_halo_probe.py; r1 VERDICT item 10 — the previous
+    hand-tuned constants of 14-17 were 4-5x over-padded).
 
-    The alternating FB-Coriolis sweep chains the second velocity through
-    the first (radius ~10 with the PV/KE stencils), wet/dry gating and
-    Flather add ~3, biharmonic viscosity 4.  The 1-vs-N-device
-    equivalence tests (tests/dist/) are the ground truth for these
-    bounds; over-padding costs only redundant halo compute.
+    Measured cones (comb probe, large perturbations, all five configs):
+    fb <= 3 (pressure/PV/KE chains are mostly half-cell-staggered, so
+    the chained second Coriolis sweep stays within 3 cells), biharmonic
+    <= 4, wet/dry + Flather within the fb cone.  +2 margin covers
+    threshold flips (wet/dry gates, upwind switches) a probe state may
+    not exercise; the 1-vs-N equivalence tests are the ground truth.
     """
-    base = 14
+    base = 5
     if cfg.nu4 != 0.0:
-        base += 4
+        base += 2
     if cfg.wetdry or cfg.obc:
-        base += 3
-    # split no longer scales the halo with nsub: the subcycle exchanges
-    # its three 2-D fields once per substep (_dist_split_step)
+        base += 2
+    # split: slow-phase radius only — the subcycle exchanges its three
+    # 2-D fields once per substep (_dist_split_step), so the halo does
+    # not grow with nsub
     return base
 
 

@@ -213,12 +213,33 @@ def make_band_call(grid: Grid, forcing: Forcing, cfg: Config,
         by = choose_band(ny, ny // 2)
     if by + 2 * wy > ny:               # interior-band DMA is traced
         by = choose_band(ny, ny - 2 * wy)  # unconditionally: rows <= ny
+    dt = cfg.npdtype
+
+    # full-width bands must fit VMEM: ~nf operand buffers of
+    # (rows, nx) each plus live temporaries.  Shrink the band while a
+    # clear estimate overflows; when even the smallest band is too wide
+    # the grid is too wide for the full-width plan (x-tiling fallback
+    # not implemented) — raise a clear error instead of an opaque
+    # Mosaic allocation failure.
+    def est_bytes(by_):
+        n_ops = len(dyn) + 6 + (3 if cfg.sponge or cfg.obc else 0)
+        return (n_ops * cfg.nz * (by_ + 2 * wy) * nx
+                * dt.itemsize * 2)      # x2: live temporaries
+    while (est_bytes(by) > vmem_limit_bytes and by // 2 >= max(8, wy)
+           and ny % (by // 2) == 0):
+        by //= 2
+    if est_bytes(by) > vmem_limit_bytes:
+        raise ValueError(
+            f"grid width nx={nx} too large for the full-width band plan "
+            f"(~{est_bytes(by) / 2 ** 20:.0f} MiB of VMEM at by={by}, "
+            f"limit {vmem_limit_bytes / 2 ** 20:.0f} MiB); shard x over "
+            "the device mesh (mesh_x) or use backend='xla'")
+
     if ny % by:
         raise ValueError(f"by={by} must divide ny={ny}")
     if by < wy or by + 2 * wy > ny:
         raise ValueError(
             f"band height {by} incompatible with halo {wy} on ny={ny}")
-    dt = cfg.npdtype
     rows = by + 2 * wy
 
     statics = static_fields(grid, forcing, cfg)

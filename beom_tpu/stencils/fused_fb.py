@@ -36,22 +36,21 @@ from beom_tpu.core.state import State
 from beom_tpu.stencils.band import make_band_call
 from beom_tpu.stepping import fb as fb_mod
 
-# Stencil radius of one fb_step is <= 14, or <= 17 with wet/dry gating
-# (see parallel/dist.required_halo); rounded up to a multiple of 8
-# (f32 sublane tiling).  The kernel is VPU-bound (~260 vector ops per
-# point ~ 1 Top/s at the measured rate), so halo rows cost compute
-# 1:1 — use the tight value per config.
-HALO_Y_BASE = 16
-HALO_Y_WETDRY = 24
+# Stencil radius of one fb_step is <= 7 with every term enabled
+# (parallel/dist.required_halo, validated by the dependence-cone probe
+# in tests/dist/test_halo_probe.py); rounded up to a multiple of 8
+# (f32 sublane tiling).  The kernel is VPU-bound, so halo rows cost
+# compute 1:1 — r1 shipped 16/24-row halos (12-37% redundant compute)
+# before the probe showed the true cone is <= 3-7.
+HALO_Y = 8
 
 
 def _halo_y(cfg: Config) -> int:
-    base = HALO_Y_WETDRY if (cfg.wetdry or cfg.obc) else HALO_Y_BASE
     if cfg.scheme == "split":
         # the barotropic subcycle grows the dependence cone by <= 2
         # rows per substep on top of the slow-phase/fb radius
-        return -(-(base + 2 * cfg.nsub) // 8) * 8
-    return base
+        return -(-(HALO_Y + 2 * cfg.nsub) // 8) * 8
+    return HALO_Y
 
 
 def make_pallas_stepper(grid: Grid, forcing: Forcing, cfg: Config,

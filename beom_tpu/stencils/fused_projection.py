@@ -46,8 +46,8 @@ from beom_tpu.stencils.band import make_band_call
 from beom_tpu.stepping import fb
 from beom_tpu.stepping.projection import barotropic_transport
 
-_HALO_A_BASE = 16     # momentum_update radius, as in fused_fb
-_HALO_A_WIDE = 24     # + wet/dry gating / OBC terms
+_HALO_A = 8           # momentum_update radius <= 5 (halo probe), as in
+                      # fused_fb.HALO_Y
 _HALO_B = 8           # grad(1) + continuity(<=3) + finalize(<=3)
 
 
@@ -67,7 +67,7 @@ def make_pallas_projection_stepper(
     dt = cfg.dt
     lam = 0.0 if rigid else 1.0 / (cfg.g * dt * dt)
     corr = dt if rigid else cfg.g * dt    # velocity-correction factor
-    wy_a = _HALO_A_WIDE if (cfg.wetdry or cfg.obc) else _HALO_A_BASE
+    wy_a = _HALO_A
     nz = cfg.nz
     npdt = cfg.npdtype
     huv = dict.fromkeys(("h", "u", "v"), grid.H[None].repeat(nz, 0))
@@ -103,7 +103,7 @@ def make_pallas_projection_stepper(
     call_b = make_band_call(
         grid, forcing, cfg, body_b, dyn={**huv, "p": grid.H},
         out_leads=((nz,), (nz,), (nz,)),
-        wy=16 if (cfg.wetdry or cfg.obc) else _HALO_B,
+        wy=_HALO_B,
         by=by, interpret=interpret,
         vmem_limit_bytes=vmem_limit_bytes)
 

@@ -87,5 +87,7 @@ def test_mesh_1xN_and_Nx1():
 
 
 def test_halo_bound_documented():
+    # >= 4: _dist_continuity_finalize's fixed w2=4 inner pad must fit;
+    # the true lower bound is pinned by tests/dist/test_halo_probe.py
     cfg, *_ = make_case("double_gyre", nx=64, ny=64)
-    assert required_halo(cfg) >= 8
+    assert required_halo(cfg) >= 4
