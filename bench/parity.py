@@ -65,6 +65,15 @@ def main(argv):
     n = int(argv[2]) if len(argv) > 2 else 10000
     nx = int(argv[3]) if len(argv) > 3 else 64
     dtype = argv[4] if len(argv) > 4 else "float32"
+    platform = argv[5] if len(argv) > 5 else None
+
+    import jax
+    if platform:   # e.g. 'cpu': run the core off-TPU (f64 control)
+        jax.config.update("jax_platforms", platform)
+    if dtype == "float64":
+        # without this the device arrays silently downcast to f32 and
+        # the "f64 control" measures nothing
+        jax.config.update("jax_enable_x64", True)
     cases = ([case] if case != "all" else
              ["double_gyre", "two_layer", "rigid_lid", "coastal_wetdry",
               "shelf_forced", "split_gyre", "implicit_fs"])

@@ -28,12 +28,14 @@ def main(argv):
     n_steps = int(argv[2]) if len(argv) > 2 else 50
 
     import jax
-    if len(jax.devices()) == 1:
-        try:
-            jax.config.update("jax_num_cpu_devices", 8)
-            jax.config.update("jax_platforms", "cpu")
-        except RuntimeError:
-            pass
+    # Configure the 8-virtual-CPU mesh BEFORE any backend is touched:
+    # probing jax.devices() first would initialize (and block on) the
+    # single-tenant TPU even though this methodology run never uses it.
+    try:
+        jax.config.update("jax_num_cpu_devices", 8)
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass   # backends already up (e.g. a real pod slice): use them
     ndev = len(jax.devices())
 
     from beom_tpu.cases import make_case
