@@ -178,10 +178,16 @@ def _dist_solve(b, grid_l: Grid, grid_p1: Grid, cfg: Config, lam=0.0,
     kw = {}
     pre = cfg.precond
     if pre == "auto":
-        pre = "ssor" if lam == 0.0 else "jacobi"
-    if pre in ("ssor", "mg"):
-        # 'mg' falls back to SSOR here: V-cycle levels below the shard
-        # size would need cross-shard coarsening (docs/COMPONENTS.md)
+        pre = "mg" if lam == 0.0 else "jacobi"
+    if pre == "mg":
+        # distributed geometric multigrid: block-local face coarsening
+        # keeps every level on the same mesh; exchanges ride the
+        # existing pad2d hooks (solvers/multigrid.build_dist_levels)
+        from beom_tpu.solvers import multigrid
+        kw["precond"] = multigrid.make_dist_mg_precond(
+            grid_p1, cfg, lam, pad=halo.pad2d, crop=halo.crop2d,
+            gsum=halo.psum2, red_fn=_global_checkerboard)
+    elif pre == "ssor":
         red = _global_checkerboard(b.shape, b.dtype) * grid_l.mask
         kw["precond"] = elliptic.make_ssor_precond(
             grid_p1, cfg, lam=lam,

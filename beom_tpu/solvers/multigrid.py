@@ -12,24 +12,27 @@ jits into one XLA program with static shapes per level.
 
 Components:
   * level hierarchy by 2x cell-centred coarsening while ny, nx stay
-    even and >= `min_size`; coarse bathymetry = masked 4-cell average,
-    coarse mask = all-4-wet (walls never smear across land);
+    even and >= `min_size`; levels are defined by FV face-coarsened
+    transmissibilities (walls stay walls exactly at every level — see
+    _coarsen_faces for why cell-mask coarsening diverges) with any-wet
+    cell masks;
   * smoother: red-black Gauss-Seidel half-sweeps (omega = 1), `nu` pre-
     and post-sweeps, post in reverse colour order so the cycle is a
     symmetric operator (valid CG preconditioner);
-  * transfers: restriction = masked 4-cell average, prolongation =
-    2x2 piecewise-constant injection (its adjoint up to the factor 4
-    absorbed in the rediscretized coarse operator);
+  * transfers: cell-centred bilinear prolongation and its
+    full-weighting adjoint (piecewise-constant transfers diverge — see
+    _prolong2);
   * coarsest level: `nu_coarse` red-black sweeps.
 
 `make_mg_precond(grid, cfg, lam)` -> one V-cycle per application, for
-cg_solve(precond=...); `mg_solve` iterates V-cycles standalone.
-
-The hierarchy lives on the *global* grid: the distributed path gathers
-nothing — it simply runs this preconditioner on each shard against the
-locally-padded statics only when the mesh is 1x1, falling back to SSOR
-otherwise (distributed MG levels below the shard size would need
-cross-shard coarsening; tracked as future work in docs/COMPONENTS.md).
+cg_solve(precond=...); `mg_solve` iterates V-cycles standalone;
+`make_dist_mg_precond` is the DISTRIBUTED variant: face coarsening is
+block-local (local dims stay even), so every level lives on the same
+('y','x') mesh, smoothing/operator applications exchange a 1-halo and
+the transfers a width-2/1 halo via the pad/crop hooks — no cross-shard
+coarsening or gather anywhere (coarsening stops at `min_local` cells
+per shard side; the coarsest level is smoothed distributed like any
+other).
 """
 
 from __future__ import annotations
@@ -112,18 +115,28 @@ def _checkerboard(shape, dtype):
     return (((i + j) % 2) == 0).astype(dtype)
 
 
-def _make_level(Hu, Hv, mask, dx, dy, lam) -> _Level:
+def _make_level(Hu, Hv, mask, dx, dy, lam, Hu_w=None, Hv_s=None,
+                red=None, gsum=jnp.sum) -> _Level:
     """A level is defined by its FACE transmissibilities (Hu at east
     faces, Hv at north faces) — never by cell H: that is what keeps
-    walls exactly where the fine grid has them (see build_levels)."""
+    walls exactly where the fine grid has them (see build_levels).
+
+    Hu_w/Hv_s (west/south faces at the cell) default to the periodic
+    local shift; the distributed path passes exchanged values.  `red`
+    overrides the checkerboard (global colouring under a mesh); `gsum`
+    is the (psum-wrapped) global sum for nwet."""
+    if Hu_w is None:
+        Hu_w = ops.sxm(Hu)
+    if Hv_s is None:
+        Hv_s = ops.sym(Hv)
     rdx2, rdy2 = 1.0 / dx ** 2, 1.0 / dy ** 2
-    diag = -((Hu + ops.sxm(Hu)) * rdx2 + (Hv + ops.sym(Hv)) * rdy2) - lam
+    diag = -((Hu + Hu_w) * rdx2 + (Hv + Hv_s) * rdy2) - lam
     inv_diag = jnp.where(diag != 0,
                          1.0 / jnp.where(diag == 0, 1.0, diag), 0.0) * mask
-    red = _checkerboard(mask.shape, mask.dtype) * mask
-    return _Level(nwet=jnp.maximum(jnp.sum(mask), 1.0),
-                  mask=mask, Hu=Hu, Hv=Hv,
-                  Hu_w=ops.sxm(Hu), Hv_s=ops.sym(Hv),
+    if red is None:
+        red = _checkerboard(mask.shape, mask.dtype) * mask
+    return _Level(nwet=jnp.maximum(gsum(mask), 1.0),
+                  mask=mask, Hu=Hu, Hv=Hv, Hu_w=Hu_w, Hv_s=Hv_s,
                   inv_diag=inv_diag, red=red, black=(1.0 - red) * mask,
                   rdx2=float(rdx2), rdy2=float(rdy2))
 
@@ -165,57 +178,155 @@ def build_levels(grid: Grid, cfg: Config, lam: float = 0.0,
     return levels
 
 
-def _apply_A(lv: _Level, p, lam):
+def _id_pad(a, w):
+    """Single-chip 'exchange': periodic rolls already wrap, so padding
+    is the identity (the hooked operators then act on unpadded blocks
+    with crop also identity)."""
+    return a
+
+
+def _nbr_shifts(p, pad, crop):
+    """(east, west, north, south) neighbour values of p under the
+    exchange hooks: local rolls when pad is identity, 1-halo ppermute
+    exchange under a mesh."""
+    if pad is _id_pad:
+        return ops.sxp(p), ops.sxm(p), ops.syp(p), ops.sym(p)
+    pp = pad(p, 1)
+    return (crop(ops.sxp(pp), 1), crop(ops.sxm(pp), 1),
+            crop(ops.syp(pp), 1), crop(ops.sym(pp), 1))
+
+
+def _apply_A(lv: _Level, p, lam, pad=_id_pad, crop=None):
     # the operator written directly with 1/dx^2 factors (identical
     # stencil to solvers/elliptic.laplacian_H)
-    out = (lv.Hu * ops.sxp(p) + lv.Hu_w * ops.sxm(p)
-           - (lv.Hu + lv.Hu_w) * p) * lv.rdx2 \
-        + (lv.Hv * ops.syp(p) + lv.Hv_s * ops.sym(p)
-           - (lv.Hv + lv.Hv_s) * p) * lv.rdy2
+    e, w, n_, s_ = _nbr_shifts(p, pad, crop)
+    out = (lv.Hu * e + lv.Hu_w * w - (lv.Hu + lv.Hu_w) * p) * lv.rdx2 \
+        + (lv.Hv * n_ + lv.Hv_s * s_ - (lv.Hv + lv.Hv_s) * p) * lv.rdy2
     if lam != 0.0:
         out = out - lam * p
     return out * lv.mask
 
 
-def _halfsweep(lv: _Level, x, b, colour):
-    nb = (lv.Hu * ops.sxp(x) + lv.Hu_w * ops.sxm(x)) * lv.rdx2 \
-       + (lv.Hv * ops.syp(x) + lv.Hv_s * ops.sym(x)) * lv.rdy2
+def _halfsweep(lv: _Level, x, b, colour, pad=_id_pad, crop=None):
+    e, w, n_, s_ = _nbr_shifts(x, pad, crop)
+    nb = (lv.Hu * e + lv.Hu_w * w) * lv.rdx2 \
+       + (lv.Hv * n_ + lv.Hv_s * s_) * lv.rdy2
     x_gs = (b - nb) * lv.inv_diag
     return jnp.where(colour > 0, x_gs, x) * lv.mask
 
 
-def _vcycle(levels, k, b, lam, nu, nu_coarse):
+def _restrict2_h(a, pad=_id_pad, crop=None):
+    """Hooked restriction: a width-2 exchange makes the full-weighting
+    stencil see the neighbour shards' edge values, then the coarse
+    result is cropped back to the local block."""
+    if pad is _id_pad:
+        return _restrict2(a)
+    ap = pad(a, 2)
+    return crop(_restrict2(ap), 1)
+
+
+def _prolong2_h(a, pad=_id_pad, crop=None):
+    if pad is _id_pad:
+        return _prolong2(a)
+    ap = pad(a, 1)
+    return crop(_prolong2(ap), 2)
+
+
+def _vcycle(levels, k, b, lam, nu, nu_coarse, pad=_id_pad, crop=None,
+            gsum=jnp.sum, demean=True):
     """One V-cycle on levels[k:], x0 = 0, returns the correction."""
     lv = levels[k]
     x = jnp.zeros_like(b)
     if k == len(levels) - 1:
         for _ in range(nu_coarse):
-            x = _halfsweep(lv, x, b, lv.red)
-            x = _halfsweep(lv, x, b, lv.black)
+            x = _halfsweep(lv, x, b, lv.red, pad, crop)
+            x = _halfsweep(lv, x, b, lv.black, pad, crop)
         return x
     # pre-smooth (red, black)
     for _ in range(nu):
-        x = _halfsweep(lv, x, b, lv.red)
-        x = _halfsweep(lv, x, b, lv.black)
+        x = _halfsweep(lv, x, b, lv.red, pad, crop)
+        x = _halfsweep(lv, x, b, lv.black, pad, crop)
     # coarse-grid correction on the residual
-    r = (b - _apply_A(lv, x, lam)) * lv.mask
+    r = (b - _apply_A(lv, x, lam, pad, crop)) * lv.mask
     lc = levels[k + 1]
-    bc = _restrict2(r) * lc.mask
-    if lam == 0.0:
+    bc = _restrict2_h(r, pad, crop) * lc.mask
+    if lam == 0.0 and demean:
         # the coarse pure-Neumann problem must stay compatible: an
         # incompatible mean makes the smoother drift along the coarse
         # nullspace, which prolongs into NON-constant fine pollution
         # (coarse wet region != fine wet region near walls)
-        bc = (bc - lc.mask * (jnp.sum(bc) / lc.nwet)) * lc.mask
-    xc = _vcycle(levels, k + 1, bc, lam, nu, nu_coarse)
-    if lam == 0.0:
-        xc = (xc - lc.mask * (jnp.sum(xc) / lc.nwet)) * lc.mask
-    x = (x + _prolong2(xc)) * lv.mask
+        bc = (bc - lc.mask * (gsum(bc) / lc.nwet)) * lc.mask
+    xc = _vcycle(levels, k + 1, bc, lam, nu, nu_coarse, pad, crop,
+                 gsum, demean)
+    if lam == 0.0 and demean:
+        xc = (xc - lc.mask * (gsum(xc) / lc.nwet)) * lc.mask
+    x = (x + _prolong2_h(xc, pad, crop)) * lv.mask
     # post-smooth in reverse colour order -> symmetric cycle
     for _ in range(nu):
-        x = _halfsweep(lv, x, b, lv.black)
-        x = _halfsweep(lv, x, b, lv.red)
+        x = _halfsweep(lv, x, b, lv.black, pad, crop)
+        x = _halfsweep(lv, x, b, lv.red, pad, crop)
     return x
+
+
+def build_dist_levels(grid_p1: Grid, cfg: Config, lam, pad, crop, gsum,
+                      red_fn, min_local: int = 8):
+    """Shard-local level hierarchy for the DISTRIBUTED V-cycle (runs
+    inside shard_map).  grid_p1: the 1-halo-padded static Grid of the
+    local block (parallel/dist.py).  Face coarsening is block-local
+    (local dims stay even), so every level remains distributed over the
+    same mesh; coarsening stops at `min_local` cells per shard side and
+    the coarsest level is smoothed with exchanges like any other.
+
+    pad(a, w)/crop(a, w): the mesh halo exchange; gsum: psum-wrapped
+    global sum; red_fn(shape, dtype): the GLOBAL checkerboard on a
+    local block of that shape (axis-offset iota)."""
+    mask_p = grid_p1.mask
+    Hu_p = mask_p * ops.sxp(mask_p) * ops.a_xp(grid_p1.H)
+    Hv_p = mask_p * ops.syp(mask_p) * ops.a_yp(grid_p1.H)
+    Hu, Hv = crop(Hu_p, 1), crop(Hv_p, 1)
+    Hu_w, Hv_s = crop(ops.sxm(Hu_p), 1), crop(ops.sym(Hv_p), 1)
+    mask = crop(mask_p, 1)
+    dx, dy = cfg.dx, cfg.dy
+    levels = [_make_level(Hu, Hv, mask, dx, dy, lam, Hu_w=Hu_w,
+                          Hv_s=Hv_s,
+                          red=red_fn(mask.shape, mask.dtype) * mask,
+                          gsum=gsum)]
+    ny_l, nx_l = mask.shape
+    while (ny_l % 2 == 0 and nx_l % 2 == 0
+           and ny_l // 2 >= min_local and nx_l // 2 >= min_local):
+        Hu, Hv = _coarsen_faces(Hu, Hv)
+        Hu_w = crop(ops.sxm(pad(Hu, 1)), 1)
+        Hv_s = crop(ops.sym(pad(Hv, 1)), 1)
+        mask = (_coarsen2(mask) > 0).astype(mask.dtype)
+        dx, dy = 2.0 * dx, 2.0 * dy
+        ny_l, nx_l = ny_l // 2, nx_l // 2
+        levels.append(_make_level(Hu, Hv, mask, dx, dy, lam, Hu_w=Hu_w,
+                                  Hv_s=Hv_s,
+                                  red=red_fn(mask.shape,
+                                             mask.dtype) * mask,
+                                  gsum=gsum))
+    return levels
+
+
+def make_dist_mg_precond(grid_p1: Grid, cfg: Config, lam, pad, crop,
+                         gsum, red_fn, nu: int = 2, nu_coarse: int = 24,
+                         min_local: int = 8):
+    """Distributed z = M^{-1} r: the V(nu, nu)-cycle with a 1-halo
+    exchange per half-sweep/operator application and width-2/1
+    exchanges around the transfers."""
+    levels = build_dist_levels(grid_p1, cfg, lam, pad, crop, gsum,
+                               red_fn, min_local=min_local)
+
+    def apply(r):
+        # demean=False: CG's own deflation keeps the level-0 problem
+        # compatible, the cycle converges identically without the
+        # per-level means (measured, 19 iters either way), and dropping
+        # them keeps the distributed iteration at ONE psum
+        # (tests/dist/test_single_reduction.py)
+        return _vcycle(levels, 0, r * levels[0].mask, lam, nu,
+                       nu_coarse, pad, crop, gsum, demean=False)
+
+    return apply
 
 
 def make_mg_precond(grid: Grid, cfg: Config, lam: float = 0.0,
@@ -225,7 +336,8 @@ def make_mg_precond(grid: Grid, cfg: Config, lam: float = 0.0,
     levels = build_levels(grid, cfg, lam, min_size=min_size)
 
     def apply(r):
-        return _vcycle(levels, 0, r * levels[0].mask, lam, nu, nu_coarse)
+        return _vcycle(levels, 0, r * levels[0].mask, lam, nu,
+                       nu_coarse, demean=False)
 
     return apply
 

@@ -222,9 +222,14 @@ def make_band_call(grid: Grid, forcing: Forcing, cfg: Config,
     # not implemented) — raise a clear error instead of an opaque
     # Mosaic allocation failure.
     def est_bytes(by_):
-        n_ops = len(dyn) + 6 + (3 if cfg.sponge or cfg.obc else 0)
-        return (n_ops * cfg.nz * (by_ + 2 * wy) * nx
-                * dt.itemsize * 2)      # x2: live temporaries
+        # calibrated against Mosaic's scoped-vmem accounting: ~15 live
+        # (lead, rows, nx) values per layer (operands + physics
+        # temporaries) + ~16 2-D planes; nz=2/by=256/nx=2048 measured
+        # 102.9 MiB, nz=1 ~70 MiB
+        units = 16 + 15 * cfg.nz
+        if cfg.sponge or cfg.obc:
+            units += 3 * (1 + cfg.nz)
+        return units * (by_ + 2 * wy) * nx * dt.itemsize
     while (est_bytes(by) > vmem_limit_bytes and by // 2 >= max(8, wy)
            and ny % (by // 2) == 0):
         by //= 2
