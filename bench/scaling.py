@@ -37,6 +37,14 @@ def main(argv):
     except RuntimeError:
         pass   # backends already up (e.g. a real pod slice): use them
     ndev = len(jax.devices())
+    if jax.devices()[0].platform == "cpu" and block > 64:
+        # virtual devices share host cores: a big per-device block makes
+        # the slowest shard miss XLA:CPU's 40 s collective-permute
+        # rendezvous deadline (observed SIGABRT at block=128, mesh 2x4).
+        # The virtual run validates mechanics only, so clamp.
+        print(json.dumps({"note": f"block {block} -> 64 on virtual CPU "
+                          "devices (rendezvous deadline)"}), file=sys.stderr)
+        block = 64
 
     from beom_tpu.cases import make_case
     from beom_tpu.parallel.dist import make_dist_stepper
