@@ -122,7 +122,13 @@ def _band_kernel(scal_ref,                  # SMEM [2] as f32
                  *args, cfg: Config, by: int, wy: int,
                  names: tuple, n_out: int, body: Callable):
     """args = <len(names) ANY input refs> <n_out VMEM out refs>
-    <len(names) VMEM window scratch> <DMA sems>."""
+    <len(names) double-buffered VMEM window scratch> <DMA sems>.
+
+    Input DMAs are double-buffered across grid iterations: iteration i
+    prefetches band i+1's rows into the other buffer slot before
+    computing band i, so the HBM reads (~30 of the ~50 B/pt of step
+    traffic) ride under the previous band's VPU work instead of
+    serialising with it (r1 shipped start-then-wait per operand)."""
     ny, nx = cfg.ny, cfg.nx
     i = pl.program_id(0)
     nbands = pl.num_programs(0)
@@ -133,49 +139,57 @@ def _band_kernel(scal_ref,                  # SMEM [2] as f32
     sems = args[-1]
     rows = by + 2 * wy
 
-    def dma_band(k, ref, buf):
-        """Fill buf with rows [i*by - wy, i*by + by + wy) of ref,
-        wrapping periodically at the first/last band."""
-        def seg(ref_rows, buf_rows, sem):
-            if len(ref.shape) == 3:
-                src = ref.at[:, ref_rows, :]
-                dst = buf.at[:, buf_rows, :]
-            else:
-                src = ref.at[ref_rows, :]
-                dst = buf.at[buf_rows, :]
-            cp = pltpu.make_async_copy(src, dst, sem)
-            cp.start()
-            return cp
+    def al(off):         # by and wy are multiples of 8, so offsets are
+        return pl.multiple_of(off, 8)
 
-        def al(off):     # by and wy are multiples of 8, so offsets are
-            return pl.multiple_of(off, 8)
+    def band_dmas(b, slot, start: bool):
+        """Start (or wait for) the copies filling buffer slot `slot`
+        with rows [b*by - wy, b*by + by + wy) of every operand, the y
+        wrap handled by split copies at the first/last band.  Start
+        and wait happen in different grid iterations, so the copy
+        descriptors are reconstructed (canonical cross-iteration DMA
+        pattern); predicates depend only on b, identical both times."""
+        for k in range(nf):
+            ref, buf = ins[k], bufs[k]
 
-        @pl.when(jnp.logical_and(i > 0, i < nbands - 1))
-        def _():
-            seg(pl.ds(al(i * by - wy), rows), pl.ds(0, rows),
-                sems.at[k, 0]).wait()
+            def seg(ref_rows, buf_rows, s, k=k, ref=ref, buf=buf):
+                if len(ref.shape) == 3:
+                    src = ref.at[:, ref_rows, :]
+                    dst = buf.at[slot, :, buf_rows, :]
+                else:
+                    src = ref.at[ref_rows, :]
+                    dst = buf.at[slot, buf_rows, :]
+                cp = pltpu.make_async_copy(src, dst, sems.at[k, slot, s])
+                cp.start() if start else cp.wait()
 
-        @pl.when(i == 0)
-        def _():
-            c1 = seg(pl.ds(al(ny - wy), wy), pl.ds(0, wy),
-                     sems.at[k, 0])
-            c2 = seg(pl.ds(0, by + wy), pl.ds(wy, by + wy),
-                     sems.at[k, 1])
-            c1.wait()
-            c2.wait()
+            @pl.when(jnp.logical_and(b > 0, b < nbands - 1))
+            def _(seg=seg):
+                seg(pl.ds(al(b * by - wy), rows), pl.ds(0, rows), 0)
 
-        @pl.when(jnp.logical_and(i == nbands - 1, nbands > 1))
-        def _():
-            c1 = seg(pl.ds(al(i * by - wy), by + wy),
-                     pl.ds(0, by + wy), sems.at[k, 0])
-            c2 = seg(pl.ds(0, wy), pl.ds(by + wy, wy), sems.at[k, 1])
-            c1.wait()
-            c2.wait()
+            @pl.when(b == 0)
+            def _(seg=seg):
+                seg(pl.ds(al(ny - wy), wy), pl.ds(0, wy), 0)
+                seg(pl.ds(0, by + wy), pl.ds(wy, by + wy), 1)
 
-    for k, (r, b) in enumerate(zip(ins, bufs)):
-        dma_band(k, r, b)
+            @pl.when(jnp.logical_and(b == nbands - 1, nbands > 1))
+            def _(seg=seg):
+                seg(pl.ds(al(b * by - wy), by + wy), pl.ds(0, by + wy), 0)
+                seg(pl.ds(0, wy), pl.ds(by + wy, wy), 1)
 
-    f = {name: b[:] for name, b in zip(names, bufs)}
+    slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
+    next_slot = jax.lax.rem(i + 1, jnp.asarray(2, i.dtype))
+
+    @pl.when(i == 0)
+    def _():
+        band_dmas(i, slot, start=True)          # prime band 0
+
+    @pl.when(i + 1 < nbands)
+    def _():
+        band_dmas(i + 1, next_slot, start=True)  # prefetch next band
+
+    band_dmas(i, slot, start=False)              # wait for this band
+
+    f = {name: b[slot] for name, b in zip(names, bufs)}
     grid_t, forcing_t = band_grid_forcing(f, cfg, i, by, rows)
 
     n = scal_ref[0].astype(jnp.int32)
@@ -225,9 +239,13 @@ def make_band_call(grid: Grid, forcing: Forcing, cfg: Config,
         # calibrated against Mosaic's scoped-vmem accounting: ~15 live
         # (lead, rows, nx) values per layer (operands + physics
         # temporaries) + ~16 2-D planes; nz=2/by=256/nx=2048 measured
-        # 102.9 MiB, nz=1 ~70 MiB
+        # 102.9 MiB, nz=1 ~70 MiB.  Double-buffered operand windows add
+        # one extra copy of every streamed field (3 nz-lead dynamics +
+        # ~4 2-D statics, + sponge/OBC extras).
         units = 16 + 15 * cfg.nz
+        units += 4 + 3 * cfg.nz
         if cfg.sponge or cfg.obc:
+            units += 3 * (1 + cfg.nz)
             units += 3 * (1 + cfg.nz)
         return units * (by_ + 2 * wy) * nx * dt.itemsize
     while (est_bytes(by) > vmem_limit_bytes and by // 2 >= max(8, wy)
@@ -252,10 +270,10 @@ def make_band_call(grid: Grid, forcing: Forcing, cfg: Config,
     examples = list(dyn.values()) + list(statics.values())
     nf = len(names)
 
-    def buf_for(a):
+    def buf_for(a):      # leading 2 = double-buffer slots
         if a.ndim == 3:
-            return pltpu.VMEM((a.shape[0], rows, nx), dt)
-        return pltpu.VMEM((rows, nx), dt)
+            return pltpu.VMEM((2, a.shape[0], rows, nx), dt)
+        return pltpu.VMEM((2, rows, nx), dt)
 
     bufs = [buf_for(a) for a in examples]
 
@@ -283,9 +301,10 @@ def make_band_call(grid: Grid, forcing: Forcing, cfg: Config,
         + [pl.BlockSpec(memory_space=pl.ANY)] * nf,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
-        scratch_shapes=bufs + [pltpu.SemaphoreType.DMA((nf, 2))],
+        scratch_shapes=bufs + [pltpu.SemaphoreType.DMA((nf, 2, 2))],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=vmem_limit_bytes),
+            vmem_limit_bytes=vmem_limit_bytes,
+            dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )
 

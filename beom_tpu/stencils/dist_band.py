@@ -55,8 +55,9 @@ def _dist_band_kernel(scal_ref, nbr_ref, *args, cfg: Config, by: int,
                       body: Callable, NY: int, ny_l: int):
     """args layout:
        <nf input refs (ANY)> <n_out out refs (VMEM)>
-       <nf VMEM band scratch> <n_dyn recv VMEM bufs (lead, 2, wy, nxp)>
-       <band-copy sems (nf,)> <send sems (n_dyn, 2)> <recv sems (n_dyn, 2)>
+       <nf double-buffered VMEM band scratch (2, ...)>
+       <n_dyn recv VMEM bufs (lead, 2, wy, nxp)>
+       <band-copy sems (nf, 2)> <send sems (n_dyn, 2)> <recv sems (n_dyn, 2)>
     Dynamic inputs are (lead, ny_l, nxp); statics are y-padded
     (lead?, ny_l + 2*wy, nxp)."""
     nf = len(names)
@@ -73,16 +74,6 @@ def _dist_band_kernel(scal_ref, nbr_ref, *args, cfg: Config, by: int,
     rows = by + 2 * wy
     my_y, my_x = nbr_ref[0], nbr_ref[1]
     up, down = nbr_ref[2], nbr_ref[3]
-
-    def seg(ref, ref_rows, buf, buf_rows, sem):
-        if len(ref.shape) == 3:
-            cp = pltpu.make_async_copy(ref.at[:, ref_rows, :],
-                                       buf.at[:, buf_rows, :], sem)
-        else:
-            cp = pltpu.make_async_copy(ref.at[ref_rows, :],
-                                       buf.at[buf_rows, :], sem)
-        cp.start()
-        return cp
 
     def al(off):
         return pl.multiple_of(off, 8)
@@ -117,63 +108,96 @@ def _dist_band_kernel(scal_ref, nbr_ref, *args, cfg: Config, by: int,
                 remote_copy(k, 0).start()
                 remote_copy(k, 1).start()
 
-    # --- band input DMA ------------------------------------------------
+    # --- band input DMA: double-buffered across grid iterations --------
+    # iteration jj prefetches iteration jj+1's band while jj computes,
+    # so the local HBM reads hide under VPU work (same pattern as
+    # stencils/band._band_kernel); the remote halo rows keep their own
+    # recv buffers and are only waited on by the (last-ordered) edge
+    # bands.
+    def band_dmas(jj, slot, start: bool):
+        b = lax.rem(jj + 1, nb)          # band computed at iteration jj
+        is_b0 = b == 0
+        is_bl = b == nbands - 1
+        for k in range(nf):
+            ref, buf = ins[k], bufs[k]
+
+            def sg(ref_rows, buf_rows, k=k, ref=ref, buf=buf):
+                if len(ref.shape) == 3:
+                    src = ref.at[:, ref_rows, :]
+                    dst = buf.at[slot, :, buf_rows, :]
+                else:
+                    src = ref.at[ref_rows, :]
+                    dst = buf.at[slot, buf_rows, :]
+                cp = pltpu.make_async_copy(src, dst,
+                                           copy_sems.at[k, slot])
+                cp.start() if start else cp.wait()
+
+            if k >= n_dyn:
+                # static: already y-padded, single in-range copy
+                sg(pl.ds(al(b * by), rows), pl.ds(0, rows))
+                continue
+
+            @pl.when(jnp.logical_and(jnp.logical_not(is_b0),
+                                     jnp.logical_not(is_bl)))
+            def _(sg=sg):
+                sg(pl.ds(al(b * by - wy), rows), pl.ds(0, rows))
+
+            @pl.when(is_b0)
+            def _(sg=sg):
+                sg(pl.ds(0, by + wy), pl.ds(wy, by + wy))
+
+            @pl.when(is_bl)
+            def _(sg=sg):
+                sg(pl.ds(al(ny_l - by - wy), by + wy),
+                   pl.ds(0, by + wy))
+
+    slot = lax.rem(j, jnp.asarray(2, j.dtype))
+    next_slot = lax.rem(j + 1, jnp.asarray(2, j.dtype))
+
+    @pl.when(j == 0)
+    def _():
+        band_dmas(j, slot, start=True)             # prime
+    @pl.when(j + 1 < nbands)
+    def _():
+        band_dmas(j + 1, next_slot, start=True)    # prefetch
+    band_dmas(j, slot, start=False)                # wait for this band
+
     is_band0 = i == 0
     is_last = i == nbands - 1
-    copies = []
-    for k, (name, ref, buf) in enumerate(zip(names, ins, bufs)):
-        if k >= n_dyn:
-            # static: already y-padded, single in-range copy
-            copies.append(seg(ref, pl.ds(al(i * by), rows), buf,
-                              pl.ds(0, rows), copy_sems.at[k]))
-            continue
-
-        @pl.when(jnp.logical_and(jnp.logical_not(is_band0),
-                                 jnp.logical_not(is_last)))
-        def _(ref=ref, buf=buf, k=k):
-            seg(ref, pl.ds(al(i * by - wy), rows), buf,
-                pl.ds(0, rows), copy_sems.at[k]).wait()
-
-        @pl.when(is_band0)
-        def _(ref=ref, buf=buf, k=k):
-            seg(ref, pl.ds(0, by + wy), buf, pl.ds(wy, by + wy),
-                copy_sems.at[k]).wait()
-
-        @pl.when(is_last)
-        def _(ref=ref, buf=buf, k=k):
-            seg(ref, pl.ds(al(ny_l - by - wy), by + wy), buf,
-                pl.ds(0, by + wy), copy_sems.at[k]).wait()
-
-    for cp in copies:
-        cp.wait()
 
     # --- edge bands: fill the remote (or self-wrap) halo rows ----------
     for k in range(n_dyn):
         ref, buf, rbuf = ins[k], bufs[k], recvs[k]
 
+        def sg_edge(ref_rows, buf_rows, k=k, ref=ref, buf=buf):
+            cp = pltpu.make_async_copy(
+                ref.at[:, ref_rows, :],
+                buf.at[slot, :, buf_rows, :],
+                copy_sems.at[k, slot])
+            cp.start()
+            cp.wait()
+
         if NY == 1:
             @pl.when(is_band0)
-            def _(ref=ref, buf=buf, k=k):
-                seg(ref, pl.ds(al(ny_l - wy), wy), buf, pl.ds(0, wy),
-                    copy_sems.at[k]).wait()
+            def _(sg_edge=sg_edge):
+                sg_edge(pl.ds(al(ny_l - wy), wy), pl.ds(0, wy))
 
             @pl.when(is_last)
-            def _(ref=ref, buf=buf, k=k):
-                seg(ref, pl.ds(0, wy), buf, pl.ds(by + wy, wy),
-                    copy_sems.at[k]).wait()
+            def _(sg_edge=sg_edge):
+                sg_edge(pl.ds(0, wy), pl.ds(by + wy, wy))
         else:
             @pl.when(is_band0)
             def _(buf=buf, rbuf=rbuf, k=k):
                 remote_copy(k, 0).wait_recv()
-                buf[:, 0:wy, :] = rbuf[:, 0]
+                buf[slot, :, 0:wy, :] = rbuf[:, 0]
 
             @pl.when(is_last)
             def _(buf=buf, rbuf=rbuf, k=k):
                 remote_copy(k, 1).wait_recv()
-                buf[:, by + wy:rows, :] = rbuf[:, 1]
+                buf[slot, :, by + wy:rows, :] = rbuf[:, 1]
 
     # --- physics on the haloed band ------------------------------------
-    f = {name: b[:] for name, b in zip(names, bufs)}
+    f = {name: b[slot] for name, b in zip(names, bufs)}
     grid_t, forcing_t = band_grid_forcing(f, cfg)
     n = scal_ref[0].astype(jnp.int32)
     t = scal_ref[1].astype(f["mask"].dtype)
@@ -228,10 +252,10 @@ def make_dist_band_call(cfg: Config, body: Callable,
     names = tuple(dyn) + tuple(statics)
     examples = list(dyn.values()) + list(statics.values())
 
-    def buf_for(a):
+    def buf_for(a):      # leading 2 = double-buffer slots
         if a.ndim == 3:
-            return pltpu.VMEM((a.shape[0], rows, nxp), dt)
-        return pltpu.VMEM((rows, nxp), dt)
+            return pltpu.VMEM((2, a.shape[0], rows, nxp), dt)
+        return pltpu.VMEM((2, rows, nxp), dt)
 
     bufs = [buf_for(a) for a in examples]
     recvs = [pltpu.VMEM((a.shape[0], 2, wy, nxp), dt)
@@ -267,7 +291,7 @@ def make_dist_band_call(cfg: Config, body: Callable,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         scratch_shapes=bufs + recvs + [
-            pltpu.SemaphoreType.DMA((len(names),)),
+            pltpu.SemaphoreType.DMA((len(names), 2)),
             pltpu.SemaphoreType.DMA((n_dyn, 2)),
             pltpu.SemaphoreType.DMA((n_dyn, 2)),
         ],
