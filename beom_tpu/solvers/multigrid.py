@@ -233,15 +233,28 @@ def _prolong2_h(a, pad=_id_pad, crop=None):
 
 
 def _vcycle(levels, k, b, lam, nu, nu_coarse, pad=_id_pad, crop=None,
-            gsum=jnp.sum, demean=True):
-    """One V-cycle on levels[k:], x0 = 0, returns the correction."""
+            gsum=jnp.sum, demean=True, gamma=1):
+    """One cycle on levels[k:], x0 = 0, returns the correction.
+
+    gamma = 1 is a V-cycle; gamma = 2 a W-cycle (the coarse problem is
+    solved by two recursive cycle applications, the second on the
+    remaining residual).  Measured on the 1024^2 closed basin (f64):
+    V(2,2)-preconditioned CG needs 24 iterations and drifts upward with
+    grid size (34 at 2048^2) — the cell-centred bilinear-transfer
+    coarse correction is only marginally convergent, and making the
+    coarsest solve exact (nu_coarse 24 -> 400) changes nothing; W(2,2)
+    restores near-grid-independence at ~1.3x the cycle FLOPs (coarse
+    levels are 4x smaller per level, so the extra visits are cheap)."""
     lv = levels[k]
     x = jnp.zeros_like(b)
     if k == len(levels) - 1:
-        for _ in range(nu_coarse):
+        # fori_loop, not a Python loop: nu_coarse sweeps unrolled inside
+        # the recursive cycle inside CG's while_loop made the HLO huge
+        # (slow compiles) and capped how exact the coarse solve could be
+        def sweep(_, x):
             x = _halfsweep(lv, x, b, lv.red, pad, crop)
-            x = _halfsweep(lv, x, b, lv.black, pad, crop)
-        return x
+            return _halfsweep(lv, x, b, lv.black, pad, crop)
+        return jax.lax.fori_loop(0, nu_coarse, sweep, x)
     # pre-smooth (red, black)
     for _ in range(nu):
         x = _halfsweep(lv, x, b, lv.red, pad, crop)
@@ -257,7 +270,12 @@ def _vcycle(levels, k, b, lam, nu, nu_coarse, pad=_id_pad, crop=None,
         # (coarse wet region != fine wet region near walls)
         bc = (bc - lc.mask * (gsum(bc) / lc.nwet)) * lc.mask
     xc = _vcycle(levels, k + 1, bc, lam, nu, nu_coarse, pad, crop,
-                 gsum, demean)
+                 gsum, demean, gamma)
+    for _ in range(gamma - 1):
+        rc = (bc - _apply_A(levels[k + 1], xc, lam, pad, crop)) \
+            * lc.mask
+        xc = xc + _vcycle(levels, k + 1, rc, lam, nu, nu_coarse, pad,
+                          crop, gsum, demean, gamma)
     if lam == 0.0 and demean:
         xc = (xc - lc.mask * (gsum(xc) / lc.nwet)) * lc.mask
     x = (x + _prolong2_h(xc, pad, crop)) * lv.mask
@@ -310,10 +328,10 @@ def build_dist_levels(grid_p1: Grid, cfg: Config, lam, pad, crop, gsum,
 
 def make_dist_mg_precond(grid_p1: Grid, cfg: Config, lam, pad, crop,
                          gsum, red_fn, nu: int = 2, nu_coarse: int = 24,
-                         min_local: int = 8):
-    """Distributed z = M^{-1} r: the V(nu, nu)-cycle with a 1-halo
-    exchange per half-sweep/operator application and width-2/1
-    exchanges around the transfers."""
+                         min_local: int = 8, gamma: int = 2):
+    """Distributed z = M^{-1} r: the (nu, nu)-cycle (W by default, see
+    _vcycle) with a 1-halo exchange per half-sweep/operator application
+    and width-2/1 exchanges around the transfers."""
     levels = build_dist_levels(grid_p1, cfg, lam, pad, crop, gsum,
                                red_fn, min_local=min_local)
 
@@ -324,27 +342,29 @@ def make_dist_mg_precond(grid_p1: Grid, cfg: Config, lam, pad, crop,
         # them keeps the distributed iteration at ONE psum
         # (tests/dist/test_single_reduction.py)
         return _vcycle(levels, 0, r * levels[0].mask, lam, nu,
-                       nu_coarse, pad, crop, gsum, demean=False)
+                       nu_coarse, pad, crop, gsum, demean=False,
+                       gamma=gamma)
 
     return apply
 
 
 def make_mg_precond(grid: Grid, cfg: Config, lam: float = 0.0,
                     nu: int = 2, nu_coarse: int = 24,
-                    min_size: int = 16):
-    """z = M^{-1} r as one symmetric V(nu, nu)-cycle, for cg_solve."""
+                    min_size: int = 16, gamma: int = 2):
+    """z = M^{-1} r as one symmetric (nu, nu)-cycle, for cg_solve.
+    gamma = 2 (W-cycle) by default — see _vcycle for the measurement."""
     levels = build_levels(grid, cfg, lam, min_size=min_size)
 
     def apply(r):
         return _vcycle(levels, 0, r * levels[0].mask, lam, nu,
-                       nu_coarse, demean=False)
+                       nu_coarse, demean=False, gamma=gamma)
 
     return apply
 
 
 def mg_solve(b, grid: Grid, cfg: Config, lam: float = 0.0, x0=None,
              tol: Optional[float] = None, maxiter: Optional[int] = None,
-             nu: int = 2, nu_coarse: int = 24):
+             nu: int = 2, nu_coarse: int = 24, gamma: int = 2):
     """Standalone V-cycle iteration: x_{k+1} = x_k + V(b - A x_k).
 
     Converges ~10x residual reduction per cycle on smooth bathymetry;
@@ -374,7 +394,8 @@ def mg_solve(b, grid: Grid, cfg: Config, lam: float = 0.0, x0=None,
     def body(c):
         x, rr, _, k = c
         r = (b - _apply_A(lv0, x, lam)) * lv0.mask
-        x = (x + _vcycle(levels, 0, r, lam, nu, nu_coarse)) * lv0.mask
+        x = (x + _vcycle(levels, 0, r, lam, nu, nu_coarse,
+                         gamma=gamma)) * lv0.mask
         r2 = (b - _apply_A(lv0, x, lam)) * lv0.mask
         return x, jnp.sum(r2 * r2), rr, k + 1
 
