@@ -47,27 +47,29 @@ def measure(step, state, n_steps: int, inner: int = 100):
 
 
 def bench_case(case="double_gyre", nx=2048, ny=2048, n_steps=300, **kw):
+    import dataclasses
+
     from beom_tpu.cases import make_case
-    from beom_tpu.stepping import get_step
+    from beom_tpu.stepping import make_stepper, prepare_state
 
     out = []
     cfg, grid, forcing, state = make_case(case, nx=nx, ny=ny, **kw)
-    step = get_step(cfg)
-    sps = measure(lambda s: step(s, grid, forcing, cfg), state, n_steps)
-    out.append({"case": case, "backend": "xla", "nx": nx, "ny": ny,
-                "points_per_s": round(nx * ny * sps, 1),
-                "steps_per_s": round(sps, 2)})
-
-    if cfg.scheme == "fb" and not (cfg.obc or cfg.sponge or cfg.tides):
+    # projection schemes: attach the warm-start carry BEFORE the scan —
+    # without it the solves run cold every step (r4 fix: the old bench
+    # silently dropped the carry and measured cold-start solves)
+    state = prepare_state(state, cfg)
+    for backend in ("xla", "pallas"):
+        c = dataclasses.replace(cfg, backend=backend)
         try:
-            from beom_tpu.stencils.fused_fb import make_pallas_stepper
-            pstep = make_pallas_stepper(grid, forcing, cfg)
-            sps = measure(lambda s: pstep(s), state, n_steps)
-            out.append({"case": case, "backend": "pallas", "nx": nx,
+            step = make_stepper(grid, forcing, c)
+            sps = measure(step, state, n_steps)
+            out.append({"case": case, "backend": backend, "nx": nx,
                         "ny": ny, "points_per_s": round(nx * ny * sps, 1),
                         "steps_per_s": round(sps, 2)})
-        except Exception as e:        # pallas path is best-effort
-            out.append({"case": case, "backend": "pallas",
+        except Exception as e:        # pallas tier is best-effort
+            if backend == "xla":
+                raise
+            out.append({"case": case, "backend": backend,
                         "error": f"{type(e).__name__}: {e}"})
     return out
 

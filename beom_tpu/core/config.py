@@ -42,7 +42,8 @@ class Config:
     nsub: int = 8                 # barotropic subcycles per step ('split')
 
     # --- elliptic solver (C14/C22) ---
-    solver: str = "cg"            # 'cg' | 'redblack'
+    solver: str = "cg"            # 'cg' | 'redblack' | 'mg' (standalone
+                                  # multigrid cycles, solvers/multigrid)
     solver_tol: float = 1.0e-10   # relative residual tolerance
     solver_maxiter: int = 500
     sor_omega: float = 1.7        # red-black SOR relaxation factor
@@ -107,6 +108,8 @@ class Config:
             raise ValueError("nx/ny must divide evenly over the device mesh")
         if self.halo_impl not in ("ppermute", "rdma"):
             raise ValueError(f"unknown halo_impl {self.halo_impl!r}")
+        if self.solver not in ("cg", "redblack", "mg"):
+            raise ValueError(f"unknown solver {self.solver!r}")
         if self.precond not in ("auto", "jacobi", "ssor", "mg"):
             raise ValueError(f"unknown precond {self.precond!r}")
 

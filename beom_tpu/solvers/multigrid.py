@@ -18,14 +18,21 @@ Components:
     cell masks;
   * smoother: red-black Gauss-Seidel half-sweeps (omega = 1), `nu` pre-
     and post-sweeps, post in reverse colour order so the cycle is a
-    symmetric operator (valid CG preconditioner);
+    symmetric operator (valid CG preconditioner).  On TPU the fine
+    levels can instead run the temporally-blocked Pallas sweep kernel
+    (stencils/redblack_pallas.make_level_sweep): the nu pre- (or post-)
+    sweeps collapse into ONE HBM pass instead of 2*nu, at the cost of
+    k-sweep halo lag across band boundaries (judged by the outer
+    residual, exactly as in the blocked-RB solver);
   * transfers: cell-centred bilinear prolongation and its
     full-weighting adjoint (piecewise-constant transfers diverge — see
     _prolong2);
   * coarsest level: `nu_coarse` red-black sweeps.
 
-`make_mg_precond(grid, cfg, lam)` -> one V-cycle per application, for
-cg_solve(precond=...); `mg_solve` iterates V-cycles standalone;
+`make_mg_precond(grid, cfg, lam)` -> one cycle (gamma = 2, a W-cycle,
+by default — see _vcycle for the measurement) per application, for
+cg_solve(precond=...); `make_mg_solver`/`mg_solve` iterate cycles
+standalone with a residual stopping test (cfg.solver = 'mg');
 `make_dist_mg_precond` is the DISTRIBUTED variant: face coarsening is
 block-local (local dims stay even), so every level lives on the same
 ('y','x') mesh, smoothing/operator applications exchange a 1-halo and
@@ -233,7 +240,8 @@ def _prolong2_h(a, pad=_id_pad, crop=None):
 
 
 def _vcycle(levels, k, b, lam, nu, nu_coarse, pad=_id_pad, crop=None,
-            gsum=jnp.sum, demean=True, gamma=1):
+            gsum=jnp.sum, demean=True, gamma=1, smooth=None,
+            transfers=None, coarse=None):
     """One cycle on levels[k:], x0 = 0, returns the correction.
 
     gamma = 1 is a V-cycle; gamma = 2 a W-cycle (the coarse problem is
@@ -244,45 +252,97 @@ def _vcycle(levels, k, b, lam, nu, nu_coarse, pad=_id_pad, crop=None,
     coarse correction is only marginally convergent, and making the
     coarsest solve exact (nu_coarse 24 -> 400) changes nothing; W(2,2)
     restores near-grid-independence at ~1.3x the cycle FLOPs (coarse
-    levels are 4x smaller per level, so the extra visits are cheap)."""
+    levels are 4x smaller per level, so the extra visits are cheap).
+    NOTE the 1.3x is FLOPs-only: at scale the coarse levels are
+    exchange-latency-bound and gamma = 2 visits level k 2^k times —
+    the distributed path can pass gamma = 1 when that dominates.
+
+    smooth: optional per-level list; entry k is None (XLA half-sweeps)
+    or a (forward, reverse) pair of blocked-sweep callables
+    sweep(x, b) -> x performing the whole nu-sweep smooth in one pass
+    (stencils/redblack_pallas.make_level_sweep).
+
+    transfers: optional (restrict(a, k), prolong(a, k)) overriding the
+    roll/reshape transfers (level index k = the FINE level of the
+    transition) — the in-kernel coarse stack uses matmul transfer
+    operators (stencils/mg_pallas.py: strided-slice gathers don't
+    lower in Mosaic; banded transfer matrices on the MXU do).
+
+    coarse: optional (j0, call): at level j0 the whole remaining stack
+    is delegated to call(b) -> x (one fused Pallas kernel per visit —
+    the cycle is otherwise launch-latency-bound in the small levels:
+    measured 3-5 ms/cycle at 512^2 from hundreds of tiny dispatches)."""
     lv = levels[k]
+    if coarse is not None and k == coarse[0]:
+        return coarse[1](b)
     x = jnp.zeros_like(b)
     if k == len(levels) - 1:
         # fori_loop, not a Python loop: nu_coarse sweeps unrolled inside
         # the recursive cycle inside CG's while_loop made the HLO huge
-        # (slow compiles) and capped how exact the coarse solve could be
-        def sweep(_, x):
+        # (slow compiles) and capped how exact the coarse solve could be.
+        # Half forward (red,black) then half reverse-ordered sweeps: the
+        # inexact coarse solve is then itself a symmetric operator
+        # (SSOR argument), so the WHOLE cycle is exactly symmetric — 24
+        # forward sweeps left a ~1e-6 relative asymmetry in z1'r2-z2'r1
+        # (caught by tests/unit/test_multigrid.py).
+        def fsweep(_, x):
             x = _halfsweep(lv, x, b, lv.red, pad, crop)
             return _halfsweep(lv, x, b, lv.black, pad, crop)
-        return jax.lax.fori_loop(0, nu_coarse, sweep, x)
+
+        def bsweep(_, x):
+            x = _halfsweep(lv, x, b, lv.black, pad, crop)
+            return _halfsweep(lv, x, b, lv.red, pad, crop)
+        nf = nu_coarse // 2
+        x = jax.lax.fori_loop(0, nf, fsweep, x)
+        return jax.lax.fori_loop(0, nu_coarse - nf, bsweep, x)
+    sm = None if smooth is None else smooth[k]
     # pre-smooth (red, black)
-    for _ in range(nu):
-        x = _halfsweep(lv, x, b, lv.red, pad, crop)
-        x = _halfsweep(lv, x, b, lv.black, pad, crop)
+    if sm is not None:
+        x = sm[0](x, b)
+    else:
+        for _ in range(nu):
+            x = _halfsweep(lv, x, b, lv.red, pad, crop)
+            x = _halfsweep(lv, x, b, lv.black, pad, crop)
     # coarse-grid correction on the residual
     r = (b - _apply_A(lv, x, lam, pad, crop)) * lv.mask
     lc = levels[k + 1]
-    bc = _restrict2_h(r, pad, crop) * lc.mask
+    restrict = (lambda a: _restrict2_h(a, pad, crop)) \
+        if transfers is None else (lambda a: transfers[0](a, k))
+    prolong = (lambda a: _prolong2_h(a, pad, crop)) \
+        if transfers is None else (lambda a: transfers[1](a, k))
+    bc = restrict(r) * lc.mask
     if lam == 0.0 and demean:
         # the coarse pure-Neumann problem must stay compatible: an
         # incompatible mean makes the smoother drift along the coarse
         # nullspace, which prolongs into NON-constant fine pollution
         # (coarse wet region != fine wet region near walls)
         bc = (bc - lc.mask * (gsum(bc) / lc.nwet)) * lc.mask
+    # gamma may be an int (uniform) or a per-level schedule tuple:
+    # gamma_k = gamma[min(k, len-1)] recursions from level k to k+1.
+    # (2, 2, 1) = W at the two finest transitions (where the marginal
+    # cell-centred transfers need the extra coarse accuracy), V below
+    # — bounding the 2^k visit explosion that makes deep W-cycles
+    # dispatch/latency-bound (r3 ADVICE).
+    g_k = gamma if isinstance(gamma, int) else \
+        gamma[min(k, len(gamma) - 1)]
     xc = _vcycle(levels, k + 1, bc, lam, nu, nu_coarse, pad, crop,
-                 gsum, demean, gamma)
-    for _ in range(gamma - 1):
+                 gsum, demean, gamma, smooth, transfers, coarse)
+    for _ in range(g_k - 1):
         rc = (bc - _apply_A(levels[k + 1], xc, lam, pad, crop)) \
             * lc.mask
         xc = xc + _vcycle(levels, k + 1, rc, lam, nu, nu_coarse, pad,
-                          crop, gsum, demean, gamma)
+                          crop, gsum, demean, gamma, smooth, transfers,
+                          coarse)
     if lam == 0.0 and demean:
         xc = (xc - lc.mask * (gsum(xc) / lc.nwet)) * lc.mask
-    x = (x + _prolong2_h(xc, pad, crop)) * lv.mask
+    x = (x + prolong(xc)) * lv.mask
     # post-smooth in reverse colour order -> symmetric cycle
-    for _ in range(nu):
-        x = _halfsweep(lv, x, b, lv.black, pad, crop)
-        x = _halfsweep(lv, x, b, lv.red, pad, crop)
+    if sm is not None:
+        x = sm[1](x, b)
+    else:
+        for _ in range(nu):
+            x = _halfsweep(lv, x, b, lv.black, pad, crop)
+            x = _halfsweep(lv, x, b, lv.red, pad, crop)
     return x
 
 
@@ -348,60 +408,186 @@ def make_dist_mg_precond(grid_p1: Grid, cfg: Config, lam, pad, crop,
     return apply
 
 
+def _make_pallas_smoothers(levels, nu: int, lam: float,
+                           min_ny: int = 256, interpret: bool = False):
+    """Per-level (forward, reverse) blocked-sweep Pallas kernels for
+    levels tall enough to amortize a kernel launch; None entries (small
+    levels, the coarsest) fall back to the XLA half-sweeps.  Each
+    kernel runs the whole nu-sweep smooth in one HBM pass (vs 2*nu
+    passes of XLA half-sweeps); omega = 1 matches _halfsweep."""
+    from beom_tpu.stencils.redblack_pallas import make_level_sweep
+
+    out = []
+    for j, lv in enumerate(levels):
+        ny, nx = lv.mask.shape
+        if j == len(levels) - 1 or ny < min_ny or ny % 8:
+            out.append(None)
+            continue
+        kw = dict(lam=lam, k=nu, omega=1.0, interpret=interpret)
+        dx = 1.0 / lv.rdx2 ** 0.5
+        dy = 1.0 / lv.rdy2 ** 0.5
+        fwd = make_level_sweep(lv.Hu, lv.Hv, lv.mask, dx, dy, **kw)
+        bwd = make_level_sweep(lv.Hu, lv.Hv, lv.mask, dx, dy,
+                               reverse=True, **kw)
+        out.append((fwd, bwd))
+    return out
+
+
+def _pallas_gamma_schedule(levels, gamma):
+    """Translate uniform gamma=2 into the per-transition schedule the
+    Pallas tier uses: W everywhere except the deepest TWO transitions
+    (V there).  Measured: V at any transition above ~64^2 stalls the
+    2048^2 solve at relres ~0.5 (the cell-centred bilinear transfers
+    need W for grid-independence, r2), while V on the last two
+    transitions converges identically and trims the deep visit count.
+    Explicit tuples/other ints pass through untouched."""
+    nt = len(levels) - 1
+    if gamma != 2 or nt <= 0:
+        return gamma
+    return tuple(2 if k < nt - 2 else 1 for k in range(nt))
+
+
+def _make_pallas_coarse(levels, lam: float, nu: int, nu_coarse: int,
+                        demean: bool, coarse_size: int = 256,
+                        gamma=2, interpret: bool = False):
+    """(j0, call) delegating levels[j0:] (every level <= coarse_size,
+    all VMEM-resident) to ONE fused Pallas kernel per cycle visit
+    (stencils/mg_pallas.py) — the cycle is otherwise dispatch-latency-
+    bound in the small levels.  None when no level qualifies.
+
+    Even in-kernel the deep visits are not free: ops on tiny arrays
+    cost ~0.1-0.15 us of issue latency each regardless of size, so the
+    in-kernel cycle defaults to the (2, 2, 1) gamma schedule — W at
+    the two finest kernel transitions, V below (measured: uniform W
+    with nu_coarse=24 spent ~1 ms/cycle in the 16^2 sweep chains)."""
+    from beom_tpu.stencils.mg_pallas import make_coarse_stack_call
+
+    for j0, lv in enumerate(levels):
+        ny, nx = lv.mask.shape
+        if max(ny, nx) <= coarse_size and ny % 2 == 0 and nx % 2 == 0:
+            # the kernel's recursion re-indexes levels from 0: hand it
+            # the TAIL of the global per-transition schedule, so the
+            # composite cycle sees one consistent schedule
+            g_k = gamma[j0:] if isinstance(gamma, tuple) else gamma
+            if isinstance(g_k, tuple) and not g_k:
+                g_k = 1
+            call = make_coarse_stack_call(
+                levels[j0:], lam, nu=nu, nu_coarse=nu_coarse,
+                gamma=g_k, demean=demean, interpret=interpret)
+            return (j0, call)
+        if ny % 2 or nx % 2:
+            break
+    return None
+
+
 def make_mg_precond(grid: Grid, cfg: Config, lam: float = 0.0,
                     nu: int = 2, nu_coarse: int = 24,
-                    min_size: int = 16, gamma: int = 2):
+                    min_size: int = 16, gamma: int = 2,
+                    smoother: str = "xla", interpret: bool = False):
     """z = M^{-1} r as one symmetric (nu, nu)-cycle, for cg_solve.
-    gamma = 2 (W-cycle) by default — see _vcycle for the measurement."""
+    gamma = 2 (W-cycle) by default — see _vcycle for the measurement.
+
+    smoother = 'pallas' swaps the fine-level smoothing to the blocked
+    Pallas sweeps AND fuses the whole <=256^2 tail of the hierarchy
+    into one kernel per visit (TPU only; _make_pallas_coarse).
+    Caveat: the band lag across blocked-band boundaries makes M only
+    approximately symmetric — fine in practice (CG convergence is the
+    observable; tests pin it), but the 'xla' smoother is the
+    exactly-symmetric reference."""
     levels = build_levels(grid, cfg, lam, min_size=min_size)
+    smooth, coarse = None, None
+    if smoother == "pallas":
+        smooth = _make_pallas_smoothers(levels, nu, lam,
+                                        interpret=interpret)
+        gamma = _pallas_gamma_schedule(levels, gamma)
+        coarse = _make_pallas_coarse(levels, lam, nu, nu_coarse,
+                                     demean=False, gamma=gamma,
+                                     interpret=interpret)
 
     def apply(r):
         return _vcycle(levels, 0, r * levels[0].mask, lam, nu,
-                       nu_coarse, demean=False, gamma=gamma)
+                       nu_coarse, demean=False, gamma=gamma,
+                       smooth=smooth, coarse=coarse)
 
     return apply
 
 
-def mg_solve(b, grid: Grid, cfg: Config, lam: float = 0.0, x0=None,
-             tol: Optional[float] = None, maxiter: Optional[int] = None,
-             nu: int = 2, nu_coarse: int = 24, gamma: int = 2):
-    """Standalone V-cycle iteration: x_{k+1} = x_k + V(b - A x_k).
+def make_mg_solver(grid: Grid, cfg: Config, lam: float = 0.0,
+                   tol: Optional[float] = None,
+                   maxiter: Optional[int] = None,
+                   nu: int = 2, nu_coarse: int = 24, gamma: int = 2,
+                   min_size: int = 16, smoother: str = "xla",
+                   interpret: bool = False):
+    """Standalone multigrid iteration x_{k+1} = x_k + C(b - A x_k),
+    with C one (nu, nu) gamma-cycle (gamma = 2, a W-cycle, by default).
+    Returns solve(b, x0=None) -> x; used when cfg.solver = 'mg'.
 
-    Converges ~10x residual reduction per cycle on smooth bathymetry;
-    used directly when cfg.solver = 'mg'.
-    """
-    levels = build_levels(grid, cfg, lam)
+    One operator application per cycle: the residual computed after
+    each correction is carried, serving both as the convergence check
+    of the new iterate and as the next cycle's input (the old loop
+    recomputed it, two applications per cycle).
+
+    smoother = 'pallas': fine levels smooth via the temporally-blocked
+    Pallas kernel (one HBM pass per nu-sweep smooth) and the whole
+    <=256^2 tail of the hierarchy runs as ONE fused kernel per visit
+    (stencils/mg_pallas.py) — the cycle is otherwise dispatch-latency-
+    bound (measured 3-5 ms/cycle at 512^2 from hundreds of tiny
+    launches, TPU)."""
+    levels = build_levels(grid, cfg, lam, min_size=min_size)
+    smooth, coarse = None, None
+    if smoother == "pallas":
+        smooth = _make_pallas_smoothers(levels, nu, lam,
+                                        interpret=interpret)
+        gamma = _pallas_gamma_schedule(levels, gamma)
+        coarse = _make_pallas_coarse(levels, lam, nu, nu_coarse,
+                                     demean=True, gamma=gamma,
+                                     interpret=interpret)
     lv0 = levels[0]
-    tol = cfg.solver_tol if tol is None else tol
-    tol = max(tol, 30.0 * float(jnp.finfo(b.dtype).eps))
+    tol0 = cfg.solver_tol if tol is None else tol
     maxiter = cfg.solver_maxiter if maxiter is None else maxiter
 
-    b = b * lv0.mask
-    if lam == 0.0:   # pure Neumann: de-mean the RHS
-        nwet = jnp.maximum(jnp.sum(lv0.mask), 1.0)
-        b = (b - lv0.mask * (jnp.sum(b) / nwet)) * lv0.mask
-    x = jnp.zeros_like(b) if x0 is None else x0 * lv0.mask
-    b2 = jnp.sum(b * b)
-    threshold = (tol * tol) * jnp.maximum(b2, jnp.finfo(b.dtype).tiny)
+    def solve(b, x0=None):
+        tol_ = max(tol0, 30.0 * float(jnp.finfo(b.dtype).eps))
+        b = b * lv0.mask
+        if lam == 0.0:   # pure Neumann: de-mean the RHS
+            nwet = jnp.maximum(jnp.sum(lv0.mask), 1.0)
+            b = (b - lv0.mask * (jnp.sum(b) / nwet)) * lv0.mask
+        x = jnp.zeros_like(b) if x0 is None else x0 * lv0.mask
+        b2 = jnp.sum(b * b)
+        threshold = (tol_ * tol_) * jnp.maximum(
+            b2, jnp.finfo(b.dtype).tiny)
 
-    def cond(c):
-        x, rr, rr_prev, k = c
-        # stop on tolerance, stagnation (< 5%/cycle) or maxiter
-        return jnp.logical_and(
-            k < maxiter,
-            jnp.logical_and(rr > threshold, rr < 0.95 * rr_prev))
+        def cond(c):
+            x, r, rr, rr_prev, k = c
+            # stop on tolerance, stagnation (< 5%/cycle) or maxiter
+            return jnp.logical_and(
+                k < maxiter,
+                jnp.logical_and(rr > threshold, rr < 0.95 * rr_prev))
 
-    def body(c):
-        x, rr, _, k = c
-        r = (b - _apply_A(lv0, x, lam)) * lv0.mask
-        x = (x + _vcycle(levels, 0, r, lam, nu, nu_coarse,
-                         gamma=gamma)) * lv0.mask
-        r2 = (b - _apply_A(lv0, x, lam)) * lv0.mask
-        return x, jnp.sum(r2 * r2), rr, k + 1
+        def body(c):
+            x, r, rr, _, k = c
+            x = (x + _vcycle(levels, 0, r, lam, nu, nu_coarse,
+                             gamma=gamma, smooth=smooth,
+                             coarse=coarse)) * lv0.mask
+            r2 = (b - _apply_A(lv0, x, lam)) * lv0.mask
+            return x, r2, jnp.sum(r2 * r2), rr, k + 1
 
-    r0 = (b - _apply_A(lv0, x, lam)) * lv0.mask
-    rr0 = jnp.sum(r0 * r0)
-    inf = jnp.full((), jnp.inf, b.dtype)
-    x, rr, _, k = jax.lax.while_loop(cond, body, (x, rr0, inf,
-                                                  jnp.zeros((), jnp.int32)))
-    return x
+        r0 = (b - _apply_A(lv0, x, lam)) * lv0.mask
+        rr0 = jnp.sum(r0 * r0)
+        inf = jnp.full((), jnp.inf, b.dtype)
+        x, _, rr, _, k = jax.lax.while_loop(
+            cond, body, (x, r0, rr0, inf, jnp.zeros((), jnp.int32)))
+        return x
+
+    return solve
+
+
+def mg_solve(b, grid: Grid, cfg: Config, lam: float = 0.0, x0=None,
+             tol: Optional[float] = None, maxiter: Optional[int] = None,
+             nu: int = 2, nu_coarse: int = 24, gamma: int = 2,
+             smoother: str = "xla"):
+    """One-shot convenience wrapper over make_mg_solver (cfg.solver =
+    'mg' dispatch, stepping/projection._solve)."""
+    return make_mg_solver(grid, cfg, lam=lam, tol=tol, maxiter=maxiter,
+                          nu=nu, nu_coarse=nu_coarse, gamma=gamma,
+                          smoother=smoother)(b, x0=x0)

@@ -118,6 +118,80 @@ def band_grid_forcing(f: dict, cfg: Config, i=None, by=None, rows=None):
     return grid_t, forcing_t
 
 
+def _tiled_kernel(scal_ref,                 # SMEM [2] as f32
+                  *args, cfg: Config, by: int, wy: int,
+                  bx: int, wx: int,
+                  names: tuple, n_out: int, body: Callable):
+    """x-tiled fallback kernel (grid = (ny//by, nx//bx)): operands
+    arrive PRE-PADDED in x (nx + 2*wx columns, the periodic wrap done
+    once per step in XLA), so each tile DMAs a contiguous
+    (rows, bx + 2*wx) window and only the y wrap needs split copies.
+    No cross-iteration double buffering — this is the capability tier
+    for nx beyond the full-width VMEM plan (SURVEY.md §4.4), not the
+    speed path."""
+    ny = cfg.ny
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nbands = pl.num_programs(0)
+    nf = len(names)
+    ins = args[:nf]
+    outs = args[nf:nf + n_out]
+    bufs = args[nf + n_out:nf + n_out + nf]
+    sems = args[-1]
+    rows = by + 2 * wy
+    cols = bx + 2 * wx
+
+    def al(off):
+        return pl.multiple_of(off, 8)
+
+    for k in range(nf):
+        ref, buf = ins[k], bufs[k]
+
+        def seg(ref_rows, buf_rows, s, k=k, ref=ref, buf=buf):
+            xs = pl.ds(pl.multiple_of(j * bx, 8), cols)
+            if len(ref.shape) == 3:
+                src = ref.at[:, ref_rows, xs]
+                dst = buf.at[:, buf_rows, :]
+            else:
+                src = ref.at[ref_rows, xs]
+                dst = buf.at[buf_rows, :]
+            cp = pltpu.make_async_copy(src, dst, sems.at[k, s])
+            cp.start()
+            return cp
+
+        @pl.when(jnp.logical_and(i > 0, i < nbands - 1))
+        def _(seg=seg):
+            seg(pl.ds(al(i * by - wy), rows), pl.ds(0, rows), 0).wait()
+
+        @pl.when(i == 0)
+        def _(seg=seg):
+            c1 = seg(pl.ds(al(ny - wy), wy), pl.ds(0, wy), 0)
+            c2 = seg(pl.ds(0, by + wy), pl.ds(wy, by + wy), 1)
+            c1.wait()
+            c2.wait()
+
+        @pl.when(jnp.logical_and(i == nbands - 1, nbands > 1))
+        def _(seg=seg):
+            c1 = seg(pl.ds(al(i * by - wy), by + wy),
+                     pl.ds(0, by + wy), 0)
+            c2 = seg(pl.ds(0, wy), pl.ds(by + wy, wy), 1)
+            c1.wait()
+            c2.wait()
+
+    f = {name: b[:] for name, b in zip(names, bufs)}
+    grid_t, forcing_t = band_grid_forcing(f, cfg, i, by, rows)
+
+    n = scal_ref[0].astype(jnp.int32)
+    t = scal_ref[1].astype(f["mask"].dtype)
+    results = body(f, grid_t, forcing_t, (n, t))
+
+    for out_ref, res in zip(outs, results):
+        if res.ndim == 3:
+            out_ref[:] = res[:, wy:wy + by, wx:wx + bx]
+        else:
+            out_ref[:] = res[wy:wy + by, wx:wx + bx]
+
+
 def _band_kernel(scal_ref,                  # SMEM [2] as f32
                  *args, cfg: Config, by: int, wy: int,
                  names: tuple, n_out: int, body: Callable):
@@ -252,11 +326,12 @@ def make_band_call(grid: Grid, forcing: Forcing, cfg: Config,
            and ny % (by // 2) == 0):
         by //= 2
     if est_bytes(by) > vmem_limit_bytes:
-        raise ValueError(
-            f"grid width nx={nx} too large for the full-width band plan "
-            f"(~{est_bytes(by) / 2 ** 20:.0f} MiB of VMEM at by={by}, "
-            f"limit {vmem_limit_bytes / 2 ** 20:.0f} MiB); shard x over "
-            "the device mesh (mesh_x) or use backend='xla'")
+        # full-width bands cannot fit VMEM at this nx: fall back to the
+        # 2-D (by, bx) tile plan (x halos via a once-per-step XLA wrap
+        # pad; SURVEY.md §4.4) instead of raising
+        return make_tiled_band_call(
+            grid, forcing, cfg, body, dyn, out_leads, wy,
+            interpret=interpret, vmem_limit_bytes=vmem_limit_bytes)
 
     if ny % by:
         raise ValueError(f"by={by} must divide ny={ny}")
@@ -312,5 +387,118 @@ def make_band_call(grid: Grid, forcing: Forcing, cfg: Config,
 
     def apply(scal, *dyn_arrays):
         return call(scal, *dyn_arrays, *static_vals)
+
+    return apply
+
+
+def _pad_x(a, wx: int):
+    """Periodic wrap pad along the minor (x) axis."""
+    return jnp.concatenate([a[..., -wx:], a, a[..., :wx]], axis=-1)
+
+
+def make_tiled_band_call(grid: Grid, forcing: Forcing, cfg: Config,
+                         body: Callable,
+                         dyn: dict,
+                         out_leads: tuple,
+                         wy: int,
+                         by: Optional[int] = None,
+                         bx: Optional[int] = None,
+                         wx: int = 128,
+                         interpret: bool = False,
+                         vmem_limit_bytes: int = 100 * 1024 * 1024):
+    """2-D (by, bx)-tile fallback for grids whose full-width bands
+    exceed VMEM (nx ≳ 16-32k single-chip; SURVEY.md §4.4).
+
+    The x wrap is materialized ONCE per step by an XLA pad of the
+    dynamic fields (statics pre-padded at setup), so the kernel's x
+    halo is a contiguous in-range read; wx = 128 keeps lane-aligned
+    DMAs and covers every stencil radius used here.  Costs one extra
+    XLA read+write pass of h,u,v per step plus 2*wx/bx redundant
+    compute — the capability tier, not the speed path (the full-width
+    plan stays the default whenever it fits)."""
+    ny, nx = cfg.ny, cfg.nx
+    dt = cfg.npdtype
+
+    bx_c = ([t for t in range(128, nx + 1, 128) if nx % t == 0]
+            or [t for t in range(8, nx + 1, 8) if nx % t == 0])
+    if not bx_c:
+        raise ValueError(f"nx={nx} has no multiple-of-8 tile width")
+    by_c = [t for t in range(8, ny + 1, 8)
+            if ny % t == 0 and t + 2 * wy <= ny]
+    if not by_c:
+        raise ValueError(f"ny={ny} incompatible with halo {wy}")
+
+    def est(by_, bx_):
+        units = 16 + 15 * cfg.nz + 4 + 3 * cfg.nz
+        if cfg.sponge or cfg.obc:
+            units += 6 * (1 + cfg.nz)
+        return units * (by_ + 2 * wy) * (bx_ + 2 * wx) * dt.itemsize
+
+    if by is None or bx is None:
+        # largest (by, bx) under the limit, preferring wide tiles (lane
+        # utilization) then tall bands (smaller y-halo fraction)
+        best = None
+        for bx_ in sorted(bx_c, reverse=True):
+            for by_ in sorted(by_c, reverse=True):
+                if est(by_, bx_) <= vmem_limit_bytes:
+                    cost = (by_ + 2 * wy) * (bx_ + 2 * wx) / (by_ * bx_)
+                    if best is None or cost < best[0]:
+                        best = (cost, by_, bx_)
+                    break
+        if best is None:
+            raise ValueError(
+                f"no (by, bx) tile of grid ({ny}, {nx}) fits "
+                f"{vmem_limit_bytes / 2 ** 20:.0f} MiB of VMEM")
+        _, by, bx = best
+    rows, cols = by + 2 * wy, bx + 2 * wx
+
+    statics = {k: _pad_x(v, wx)
+               for k, v in static_fields(grid, forcing, cfg).items()}
+    names = tuple(dyn) + tuple(statics)
+    examples = list(dyn.values()) + list(statics.values())
+    nf = len(names)
+
+    def buf_for(a):
+        if a.ndim == 3:
+            return pltpu.VMEM((a.shape[0], rows, cols), dt)
+        return pltpu.VMEM((rows, cols), dt)
+
+    bufs = [buf_for(a) for a in examples]
+    kernel = functools.partial(_tiled_kernel, cfg=cfg, by=by, wy=wy,
+                               bx=bx, wx=wx, names=names,
+                               n_out=len(out_leads), body=body)
+
+    out_specs, out_shape = [], []
+    for lead in out_leads:
+        if lead:
+            out_specs.append(pl.BlockSpec(
+                lead + (by, bx),
+                lambda i, j, _l=len(lead): (0,) * _l + (i, j),
+                memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct(lead + (ny, nx), dt))
+        else:
+            out_specs.append(pl.BlockSpec((by, bx), lambda i, j: (i, j),
+                                          memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((ny, nx), dt))
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(ny // by, nx // bx),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * nf,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=bufs + [pltpu.SemaphoreType.DMA((nf, 2))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes,
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )
+
+    static_vals = tuple(statics.values())
+
+    def apply(scal, *dyn_arrays):
+        padded = tuple(_pad_x(a, wx) for a in dyn_arrays)
+        return call(scal, *padded, *static_vals)
 
     return apply

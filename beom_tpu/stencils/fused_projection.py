@@ -115,6 +115,11 @@ def make_pallas_projection_stepper(
             grid, cfg, lam=lam, k=k_sweeps,
             max_passes=max(1, cfg.solver_maxiter // k_sweeps),
             interpret=interpret)
+    elif cfg.solver == "mg":
+        from beom_tpu.solvers.multigrid import make_mg_solver
+        solve = make_mg_solver(grid, cfg, lam=lam,
+                               smoother="pallas" if not interpret
+                               else "xla")
     else:
         kw = {}
         pre = cfg.precond
@@ -124,7 +129,13 @@ def make_pallas_projection_stepper(
             kw["precond"] = elliptic.make_ssor_precond(grid, cfg, lam=lam)
         elif pre == "mg":
             from beom_tpu.solvers.multigrid import make_mg_precond
-            kw["precond"] = make_mg_precond(grid, cfg, lam=lam)
+            # Pallas tier: blocked fine-level sweeps + the fused
+            # coarse-stack kernel (solvers/multigrid.py) — the XLA
+            # cycle is dispatch-latency-bound on TPU
+            kw["precond"] = make_mg_precond(
+                grid, cfg, lam=lam,
+                smoother="xla" if interpret else "pallas",
+                interpret=interpret)
 
         def solve(b, x0=None):
             return elliptic.cg_solve(b, grid, cfg, x0=x0, lam=lam, **kw).x

@@ -38,9 +38,9 @@ from beom_tpu.solvers import elliptic
 
 def _rb_kernel(x_ref, b_ref, Hu_ref, Hv_ref, m_ref,   # ANY (ny, nx)
                out_ref,                               # VMEM (by, nx)
-               *scratch, cfg: Config, by: int, wy: int, k: int,
-               lam: float, omega: float):
-    ny, nx = cfg.ny, cfg.nx
+               *scratch, ny: int, nx: int, dx: float, dy: float,
+               by: int, wy: int, k: int,
+               lam: float, omega: float, reverse: bool):
     i = pl.program_id(0)
     nbands = pl.num_programs(0)
     rows = by + 2 * wy
@@ -84,8 +84,8 @@ def _rb_kernel(x_ref, b_ref, Hu_ref, Hv_ref, m_ref,   # ANY (ny, nx)
         dma_band(kk, r, bf)
 
     x, b, Hu, Hv, m = [bf[:] for bf in bufs]
-    rdx2 = 1.0 / cfg.dx ** 2
-    rdy2 = 1.0 / cfg.dy ** 2
+    rdx2 = 1.0 / dx ** 2
+    rdy2 = 1.0 / dy ** 2
     diag = -((Hu + ops.sxm(Hu)) * rdx2 + (Hv + ops.sym(Hv)) * rdy2) - lam
     inv_diag = jnp.where(diag != 0,
                          1.0 / jnp.where(diag == 0.0, 1.0, diag), 0.0)
@@ -106,24 +106,32 @@ def _rb_kernel(x_ref, b_ref, Hu_ref, Hv_ref, m_ref,   # ANY (ny, nx)
         return jnp.where(colour > 0,
                          (1.0 - omega) * x + omega * x_gs, x) * m
 
+    first, second = (black, red) if reverse else (red, black)
+
     def sweep(_, x):
-        x = halfsweep(x, red)
-        return halfsweep(x, black)
+        x = halfsweep(x, first)
+        return halfsweep(x, second)
 
     x = jax.lax.fori_loop(0, k, sweep, x)
     out_ref[:] = x[wy:wy + by, :]
 
 
-def make_rb_solver(grid: Grid, cfg: Config, lam: float = 0.0,
-                   k: int = 8, by: Optional[int] = None,
-                   omega: Optional[float] = None,
-                   interpret: bool = False,
-                   vmem_limit_bytes: int = 100 * 1024 * 1024):
-    """Returns sweep_k(x, b) -> x performing k red-black sweeps in one
-    HBM pass (temporally blocked, band-lagged across boundaries).
-    """
-    ny, nx = cfg.ny, cfg.nx
-    omega = cfg.sor_omega if omega is None else omega
+def make_level_sweep(Hu, Hv, mask, dx: float, dy: float, *,
+                     lam: float = 0.0, k: int = 1, omega: float = 1.0,
+                     reverse: bool = False,
+                     by: Optional[int] = None,
+                     interpret: bool = False,
+                     vmem_limit_bytes: int = 100 * 1024 * 1024):
+    """sweep(x, b) -> x: k temporally-blocked red-black GS/SOR sweeps
+    (black-red colour order when `reverse` — the multigrid post-smooth
+    direction) in ONE HBM pass on an arbitrary periodic (ny, nx) level.
+
+    Takes raw level fields rather than Grid/Config so the multigrid
+    hierarchy (solvers/multigrid.py) can instantiate one forward + one
+    reversed smoother per Pallas-smoothed level; make_rb_solver wraps
+    it for the model grid."""
+    ny, nx = mask.shape
+    dt = mask.dtype
     by = by or max(8, min(256, ny // 2 // 8 * 8))
     if ny % by:
         raise ValueError(f"by={by} must divide ny={ny}")
@@ -132,14 +140,13 @@ def make_rb_solver(grid: Grid, cfg: Config, lam: float = 0.0,
     wy = ((2 * k + 7) // 8) * 8
     if by < wy or by + wy > ny:
         raise ValueError(f"band {by} incompatible with halo {wy}")
-    dt = cfg.npdtype
 
-    Hu, Hv = elliptic.face_depths(grid)
     rows = by + 2 * wy
     bufs = [pltpu.VMEM((rows, nx), dt) for _ in range(5)]
 
-    kernel = functools.partial(_rb_kernel, cfg=cfg, by=by, wy=wy, k=k,
-                               lam=lam, omega=omega)
+    kernel = functools.partial(_rb_kernel, ny=ny, nx=nx, dx=dx, dy=dy,
+                               by=by, wy=wy, k=k,
+                               lam=lam, omega=omega, reverse=reverse)
     call = pl.pallas_call(
         kernel,
         grid=(ny // by,),
@@ -153,11 +160,26 @@ def make_rb_solver(grid: Grid, cfg: Config, lam: float = 0.0,
         interpret=interpret,
     )
 
-    @jax.jit
     def sweep_k(x, b):
-        return call(x, b, Hu, Hv, grid.mask)
+        return call(x, b, Hu, Hv, mask)
 
     return sweep_k
+
+
+def make_rb_solver(grid: Grid, cfg: Config, lam: float = 0.0,
+                   k: int = 8, by: Optional[int] = None,
+                   omega: Optional[float] = None,
+                   interpret: bool = False,
+                   vmem_limit_bytes: int = 100 * 1024 * 1024):
+    """Returns sweep_k(x, b) -> x performing k red-black sweeps in one
+    HBM pass (temporally blocked, band-lagged across boundaries).
+    """
+    omega = cfg.sor_omega if omega is None else omega
+    Hu, Hv = elliptic.face_depths(grid)
+    sweep = make_level_sweep(
+        Hu, Hv, grid.mask, cfg.dx, cfg.dy, lam=lam, k=k, omega=omega,
+        by=by, interpret=interpret, vmem_limit_bytes=vmem_limit_bytes)
+    return jax.jit(sweep)
 
 
 def make_pallas_rb_solve(grid: Grid, cfg: Config, lam: float = 0.0,

@@ -52,6 +52,9 @@ def _solve(b, grid: Grid, cfg: Config, lam=0.0, x0=None,
            dot: Optional[Callable] = None):
     if cfg.solver == "redblack":
         return elliptic.redblack_solve(b, grid, cfg, x0=x0, lam=lam)
+    if cfg.solver == "mg":
+        from beom_tpu.solvers.multigrid import mg_solve
+        return mg_solve(b, grid, cfg, lam=lam, x0=x0)
     kw = {} if dot is None else {"dot": dot}
     pre = cfg.precond
     if pre == "auto":   # measured: MG pays off only for pure Neumann

@@ -12,7 +12,7 @@ import pytest
 import jax
 
 from beom_tpu.cases import make_case
-from beom_tpu.parallel.dist import make_dist_pallas_stepper
+from beom_tpu.parallel.dist import make_dist_stepper
 from beom_tpu.parallel.mesh import make_mesh, shard_state
 from beom_tpu.stepping import run_steps
 
@@ -26,7 +26,7 @@ def _compare(case, mesh_shape, n=6, atol=1e-11, **kw):
     ref = run_steps(state, grid, forcing, cfg, n)
 
     mesh = make_mesh(*mesh_shape)
-    step = make_dist_pallas_stepper(grid, forcing, cfg, mesh, n_inner=n)
+    step = make_dist_stepper(grid, forcing, cfg, mesh, n_inner=n)
     out = step(shard_state(state, mesh))
 
     for f in "huv":
@@ -70,3 +70,16 @@ def test_split_larger_nsub():
     # nsub=8 -> wy = 32: subcycle dependence cone absorbed in-kernel
     _compare("double_gyre", (2, 1), nx=64, ny=256, scheme="split",
              nsub=8)
+
+
+def test_rigid_lid_projection_composed():
+    """r3 VERDICT item 3: band phases A/B per shard around the
+    distributed MG-CG solve (make_dist_pallas_projection_stepper);
+    tolerance matches the XLA dist-equivalence bar for the iterative
+    solve (solver tol amplifies band-phase ulp diffs)."""
+    _compare("rigid_lid", (2, 2), nx=64, ny=192, atol=1e-8)
+
+
+def test_implicit_fs_projection_composed():
+    _compare("double_gyre", (2, 2), nx=64, ny=192,
+             scheme="implicit_fs", atol=1e-8)

@@ -104,3 +104,43 @@ def test_pallas_rigid_lid_redblack_tolerance():
     # solver-tolerance level, amplified over n_steps
     _compare_projection("rigid_lid", nx=128, ny=96, solver="redblack",
                         atol_ulp=1e-4)
+
+
+def test_tiled_band_fallback_matches_fb():
+    """x-tiled (by, bx) fallback (stencils/band.make_tiled_band_call,
+    SURVEY.md §4.4): forced via wx=8 tiles on a small grid, must
+    reproduce the XLA fb step exactly like the full-width plan."""
+    import jax.numpy as jnp
+
+    from beom_tpu.core.state import State
+    from beom_tpu.stencils.band import make_tiled_band_call
+    from beom_tpu.stepping import fb as fb_mod, run_steps
+
+    cfg, grid, forcing, state = make_case("double_gyre", nx=64, ny=64,
+                                          dtype="float64")
+
+    def body(f, grid_t, forcing_t, scal):
+        n, t = scal
+        out = fb_mod.fb_step(State(h=f["h"], u=f["u"], v=f["v"],
+                                   t=t, n=n), grid_t, forcing_t, cfg)
+        return out.h, out.u, out.v
+
+    nz = cfg.nz
+    call = make_tiled_band_call(
+        grid, forcing, cfg, body,
+        dyn=dict.fromkeys(("h", "u", "v"), grid.H[None].repeat(nz, 0)),
+        out_leads=((nz,), (nz,), (nz,)),
+        wy=8, by=16, bx=16, wx=8, interpret=True)
+
+    s = state
+    for _ in range(3):
+        scal = jnp.stack([s.n.astype(cfg.npdtype),
+                          s.t.astype(cfg.npdtype)])
+        h1, u1, v1 = call(scal, s.h, s.u, s.v)
+        s = State(h=h1, u=u1, v=v1, t=s.t + cfg.dt, n=s.n + 1)
+
+    ref = run_steps(state, grid, forcing, cfg, 3)
+    np.testing.assert_allclose(np.asarray(s.h), np.asarray(ref.h),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s.u), np.asarray(ref.u),
+                               rtol=0, atol=1e-12)
