@@ -60,6 +60,61 @@ def run_one(case, n_steps=10000, nx=64, dtype="float32"):
             "h": err(h, ho), "u": err(u, uo), "v": err(v, vo)}
 
 
+def run_one_dist(case, n_steps=1000, nx=64, dtype="float32",
+                 mesh_shape=(2, 2), backend="pallas"):
+    """Parity leg for the DISTRIBUTED steppers on the virtual CPU mesh
+    (r3 VERDICT item 10): the composed Pallas tier (backend='pallas',
+    dist-band kernels via the TPU interpreter) or the XLA shard_map
+    tier, vs the same f64 NumPy oracle.  Interpreter emulation costs
+    ~0.1 s/step, so the composed-tier leg uses a reduced step count;
+    the 10k-step single-chip rows live in PARITY_r02.json."""
+    import jax
+    from beom_tpu.cases import make_case
+    from beom_tpu.oracle import oracle_for
+    from beom_tpu.parallel.dist import make_dist_stepper
+    from beom_tpu.parallel.mesh import make_mesh, shard_state
+    from beom_tpu.stepping import prepare_state
+
+    my, mx = mesh_shape
+    kw = dict(nx=nx, ny=max(nx, 24 * my), dtype=dtype, backend=backend,
+              mesh_y=my, mesh_x=mx)
+    variants = {"split_gyre": ("double_gyre",
+                               dict(scheme="split", nsub=2)),
+                "implicit_fs": ("rigid_lid",
+                                dict(scheme="implicit_fs"))}
+    geom, extra = variants.get(case, (case, {}))
+    kw.update(extra)
+    cfg, grid, forcing, state = make_case(geom, **kw)
+
+    mesh = make_mesh(my, mx)
+    inner = 50
+    step = make_dist_stepper(grid, forcing, cfg, mesh, n_inner=inner)
+    s = shard_state(prepare_state(state, cfg), mesh)
+    done = 0
+    while done < n_steps:
+        s = step(s)
+        done += inner
+    jax.block_until_ready(s.h)
+    h = np.asarray(s.h, np.float64)
+    u = np.asarray(s.u, np.float64)
+    v = np.asarray(s.v, np.float64)
+
+    orc = oracle_for(cfg, grid, forcing)
+    ho, uo, vo = orc.run(np.asarray(state.h), np.asarray(state.u),
+                         np.asarray(state.v), done)
+
+    def err(a, b):
+        d = np.abs(a - b)
+        return {"max": float(d.max()),
+                "rms": float(np.sqrt((d * d).mean())),
+                "scale": float(np.abs(b).max())}
+
+    return {"case": case, "tier": f"dist-{backend}",
+            "mesh": list(mesh_shape), "n_steps": done,
+            "nx": kw["nx"], "ny": kw["ny"], "dtype": dtype,
+            "h": err(h, ho), "u": err(u, uo), "v": err(v, vo)}
+
+
 def main(argv):
     case = argv[1] if len(argv) > 1 else "all"
     n = int(argv[2]) if len(argv) > 2 else 10000
@@ -68,6 +123,19 @@ def main(argv):
     platform = argv[5] if len(argv) > 5 else None
 
     import jax
+    if case == "dist":
+        # distributed legs need the 8-virtual-device CPU mesh
+        jax.config.update("jax_num_cpu_devices", 8)
+        jax.config.update("jax_platforms", "cpu")
+        if dtype == "float64":
+            jax.config.update("jax_enable_x64", True)
+        for c, backend in (("double_gyre", "pallas"),
+                           ("rigid_lid", "pallas"),
+                           ("double_gyre", "xla")):
+            print(json.dumps(run_one_dist(c, n, nx, dtype,
+                                          backend=backend)),
+                  flush=True)
+        return
     if platform:   # e.g. 'cpu': run the core off-TPU (f64 control)
         jax.config.update("jax_platforms", platform)
     if dtype == "float64":

@@ -172,6 +172,31 @@ def _cg_matvec(p, grid_p1: Grid, cfg: Config, lam: float):
     return q
 
 
+def _make_mg_nbr():
+    """nbr(lv, p) for the distributed multigrid (make_dist_mg_precond):
+    the off-diagonal neighbour sum computed HALO-PIPELINED — local
+    periodic rolls (no comm dependency, so the exchange overlaps the
+    full-block gather) plus thin-slice edge corrections, the same
+    pattern as _cg_matvec.  lv.Hu_w/Hv_s hold the exchanged true
+    west/south faces (build_dist_levels), so only the neighbour VALUES
+    need patching."""
+    def nbr(lv, p):
+        nb = (lv.Hu * ops.sxp(p) + lv.Hu_w * ops.sxm(p)) * lv.rdx2 \
+           + (lv.Hv * ops.syp(p) + lv.Hv_s * ops.sym(p)) * lv.rdy2
+        if jax.lax.axis_size("x") > 1:
+            recv_w, recv_e = _edge_recv(p, 1, "x")
+            ce = lv.Hu[:, -1:] * (recv_e - p[:, :1]) * lv.rdx2
+            cw = lv.Hu_w[:, :1] * (recv_w - p[:, -1:]) * lv.rdx2
+            nb = nb.at[:, -1:].add(ce).at[:, :1].add(cw)
+        if jax.lax.axis_size("y") > 1:
+            recv_s, recv_n = _edge_recv(p, 0, "y")
+            cn = lv.Hv[-1:, :] * (recv_n - p[:1, :]) * lv.rdy2
+            cs = lv.Hv_s[:1, :] * (recv_s - p[-1:, :]) * lv.rdy2
+            nb = nb.at[-1:, :].add(cn).at[:1, :].add(cs)
+        return nb
+    return nbr
+
+
 def _dist_redblack(b, grid_l: Grid, grid_p1: Grid, cfg: Config, lam=0.0,
                    x0=None):
     """Red-black SOR with a 1-halo exchange per half-sweep — no global
@@ -252,7 +277,8 @@ def _dist_solve(b, grid_l: Grid, grid_p1: Grid, cfg: Config, lam=0.0,
         from beom_tpu.solvers import multigrid
         kw["precond"] = multigrid.make_dist_mg_precond(
             grid_p1, cfg, lam, pad=halo.pad2d, crop=halo.crop2d,
-            gsum=halo.psum2, red_fn=_global_checkerboard)
+            gsum=halo.psum2, red_fn=_global_checkerboard,
+            nbr=_make_mg_nbr())
     elif pre == "ssor":
         red = _global_checkerboard(b.shape, b.dtype) * grid_l.mask
         kw["precond"] = elliptic.make_ssor_precond(
@@ -466,8 +492,9 @@ def make_dist_pallas_stepper(grid: Grid, forcing: Forcing, cfg: Config,
                 h = halo.pad_axis(h, wx, -1, "x")
                 u = halo.pad_axis(u, wx, -1, "x")
                 v = halo.pad_axis(v, wx, -1, "x")
-            scal = jax.lax.pvary(
-                jnp.stack([s.n.astype(dt), s.t.astype(dt)]), ("y", "x"))
+            scal = jax.lax.pcast(
+                jnp.stack([s.n.astype(dt), s.t.astype(dt)]), ("y", "x"),
+                to="varying")
             h1, u1, v1 = call(scal, nbr, h, u, v, *pstat)
             if wx:
                 h1 = h1[..., wx:wx + nx_l]
@@ -601,8 +628,9 @@ def make_dist_pallas_projection_stepper(grid: Grid, forcing: Forcing,
                 h = halo.pad_axis(h, wx, -1, "x")
                 u = halo.pad_axis(u, wx, -1, "x")
                 v = halo.pad_axis(v, wx, -1, "x")
-            scal = jax.lax.pvary(
-                jnp.stack([s.n.astype(dt), s.t.astype(dt)]), ("y", "x"))
+            scal = jax.lax.pcast(
+                jnp.stack([s.n.astype(dt), s.t.astype(dt)]), ("y", "x"),
+                to="varying")
             u_s, v_s, div = call_a(scal, nbr, h, u, v, *pstat)
             div_l = cropx(div)
 

@@ -154,12 +154,12 @@ def rdma_pad2d(a, w: int):
     my_y = lax.axis_index("y")
     my_x = lax.axis_index("x")
     nbr = jnp.stack([
-        lax.pvary(my_y.astype(jnp.int32), ("x",)),
-        lax.pvary(my_x.astype(jnp.int32), ("y",)),
-        lax.pvary(((my_y + 1) % NY).astype(jnp.int32), ("x",)),
-        lax.pvary(((my_y + NY - 1) % NY).astype(jnp.int32), ("x",)),
-        lax.pvary(((my_x + 1) % NX).astype(jnp.int32), ("y",)),
-        lax.pvary(((my_x + NX - 1) % NX).astype(jnp.int32), ("y",)),
+        lax.pcast(my_y.astype(jnp.int32), ("x",), to="varying"),
+        lax.pcast(my_x.astype(jnp.int32), ("y",), to="varying"),
+        lax.pcast(((my_y + 1) % NY).astype(jnp.int32), ("x",), to="varying"),
+        lax.pcast(((my_y + NY - 1) % NY).astype(jnp.int32), ("x",), to="varying"),
+        lax.pcast(((my_x + 1) % NX).astype(jnp.int32), ("y",), to="varying"),
+        lax.pcast(((my_x + NX - 1) % NX).astype(jnp.int32), ("y",), to="varying"),
     ])
     out = _pad_call(a3.shape[0], ly, lx, a.dtype, w, NY, NX,
                     interpret)(nbr, a3)

@@ -203,21 +203,35 @@ def _nbr_shifts(p, pad, crop):
             crop(ops.syp(pp), 1), crop(ops.sym(pp), 1))
 
 
-def _apply_A(lv: _Level, p, lam, pad=_id_pad, crop=None):
-    # the operator written directly with 1/dx^2 factors (identical
-    # stencil to solvers/elliptic.laplacian_H)
-    e, w, n_, s_ = _nbr_shifts(p, pad, crop)
-    out = (lv.Hu * e + lv.Hu_w * w - (lv.Hu + lv.Hu_w) * p) * lv.rdx2 \
-        + (lv.Hv * n_ + lv.Hv_s * s_ - (lv.Hv + lv.Hv_s) * p) * lv.rdy2
+def _apply_A(lv: _Level, p, lam, pad=_id_pad, crop=None, nbr=None):
+    """A p.  nbr(lv, p) -> off-diagonal neighbour sum overrides the
+    pad/crop exchange (the distributed path passes the HALO-PIPELINED
+    form: local rolls + thin-slice edge corrections, so the exchange
+    overlaps the full-block gather — parallel/dist._make_mg_nbr)."""
+    if nbr is None:
+        # the operator written directly with 1/dx^2 factors (identical
+        # stencil to solvers/elliptic.laplacian_H)
+        e, w, n_, s_ = _nbr_shifts(p, pad, crop)
+        out = (lv.Hu * e + lv.Hu_w * w - (lv.Hu + lv.Hu_w) * p) \
+            * lv.rdx2 \
+            + (lv.Hv * n_ + lv.Hv_s * s_ - (lv.Hv + lv.Hv_s) * p) \
+            * lv.rdy2
+    else:
+        out = nbr(lv, p) - ((lv.Hu + lv.Hu_w) * lv.rdx2
+                            + (lv.Hv + lv.Hv_s) * lv.rdy2) * p
     if lam != 0.0:
         out = out - lam * p
     return out * lv.mask
 
 
-def _halfsweep(lv: _Level, x, b, colour, pad=_id_pad, crop=None):
-    e, w, n_, s_ = _nbr_shifts(x, pad, crop)
-    nb = (lv.Hu * e + lv.Hu_w * w) * lv.rdx2 \
-       + (lv.Hv * n_ + lv.Hv_s * s_) * lv.rdy2
+def _halfsweep(lv: _Level, x, b, colour, pad=_id_pad, crop=None,
+               nbr=None):
+    if nbr is None:
+        e, w, n_, s_ = _nbr_shifts(x, pad, crop)
+        nb = (lv.Hu * e + lv.Hu_w * w) * lv.rdx2 \
+           + (lv.Hv * n_ + lv.Hv_s * s_) * lv.rdy2
+    else:
+        nb = nbr(lv, x)
     x_gs = (b - nb) * lv.inv_diag
     return jnp.where(colour > 0, x_gs, x) * lv.mask
 
@@ -241,7 +255,7 @@ def _prolong2_h(a, pad=_id_pad, crop=None):
 
 def _vcycle(levels, k, b, lam, nu, nu_coarse, pad=_id_pad, crop=None,
             gsum=jnp.sum, demean=True, gamma=1, smooth=None,
-            transfers=None, coarse=None):
+            transfers=None, coarse=None, nbr=None):
     """One cycle on levels[k:], x0 = 0, returns the correction.
 
     gamma = 1 is a V-cycle; gamma = 2 a W-cycle (the coarse problem is
@@ -286,12 +300,12 @@ def _vcycle(levels, k, b, lam, nu, nu_coarse, pad=_id_pad, crop=None,
         # forward sweeps left a ~1e-6 relative asymmetry in z1'r2-z2'r1
         # (caught by tests/unit/test_multigrid.py).
         def fsweep(_, x):
-            x = _halfsweep(lv, x, b, lv.red, pad, crop)
-            return _halfsweep(lv, x, b, lv.black, pad, crop)
+            x = _halfsweep(lv, x, b, lv.red, pad, crop, nbr)
+            return _halfsweep(lv, x, b, lv.black, pad, crop, nbr)
 
         def bsweep(_, x):
-            x = _halfsweep(lv, x, b, lv.black, pad, crop)
-            return _halfsweep(lv, x, b, lv.red, pad, crop)
+            x = _halfsweep(lv, x, b, lv.black, pad, crop, nbr)
+            return _halfsweep(lv, x, b, lv.red, pad, crop, nbr)
         nf = nu_coarse // 2
         x = jax.lax.fori_loop(0, nf, fsweep, x)
         return jax.lax.fori_loop(0, nu_coarse - nf, bsweep, x)
@@ -301,10 +315,10 @@ def _vcycle(levels, k, b, lam, nu, nu_coarse, pad=_id_pad, crop=None,
         x = sm[0](x, b)
     else:
         for _ in range(nu):
-            x = _halfsweep(lv, x, b, lv.red, pad, crop)
-            x = _halfsweep(lv, x, b, lv.black, pad, crop)
+            x = _halfsweep(lv, x, b, lv.red, pad, crop, nbr)
+            x = _halfsweep(lv, x, b, lv.black, pad, crop, nbr)
     # coarse-grid correction on the residual
-    r = (b - _apply_A(lv, x, lam, pad, crop)) * lv.mask
+    r = (b - _apply_A(lv, x, lam, pad, crop, nbr)) * lv.mask
     lc = levels[k + 1]
     restrict = (lambda a: _restrict2_h(a, pad, crop)) \
         if transfers is None else (lambda a: transfers[0](a, k))
@@ -326,13 +340,13 @@ def _vcycle(levels, k, b, lam, nu, nu_coarse, pad=_id_pad, crop=None,
     g_k = gamma if isinstance(gamma, int) else \
         gamma[min(k, len(gamma) - 1)]
     xc = _vcycle(levels, k + 1, bc, lam, nu, nu_coarse, pad, crop,
-                 gsum, demean, gamma, smooth, transfers, coarse)
+                 gsum, demean, gamma, smooth, transfers, coarse, nbr)
     for _ in range(g_k - 1):
-        rc = (bc - _apply_A(levels[k + 1], xc, lam, pad, crop)) \
+        rc = (bc - _apply_A(levels[k + 1], xc, lam, pad, crop, nbr)) \
             * lc.mask
         xc = xc + _vcycle(levels, k + 1, rc, lam, nu, nu_coarse, pad,
                           crop, gsum, demean, gamma, smooth, transfers,
-                          coarse)
+                          coarse, nbr)
     if lam == 0.0 and demean:
         xc = (xc - lc.mask * (gsum(xc) / lc.nwet)) * lc.mask
     x = (x + prolong(xc)) * lv.mask
@@ -341,8 +355,8 @@ def _vcycle(levels, k, b, lam, nu, nu_coarse, pad=_id_pad, crop=None,
         x = sm[1](x, b)
     else:
         for _ in range(nu):
-            x = _halfsweep(lv, x, b, lv.black, pad, crop)
-            x = _halfsweep(lv, x, b, lv.red, pad, crop)
+            x = _halfsweep(lv, x, b, lv.black, pad, crop, nbr)
+            x = _halfsweep(lv, x, b, lv.red, pad, crop, nbr)
     return x
 
 
@@ -388,10 +402,13 @@ def build_dist_levels(grid_p1: Grid, cfg: Config, lam, pad, crop, gsum,
 
 def make_dist_mg_precond(grid_p1: Grid, cfg: Config, lam, pad, crop,
                          gsum, red_fn, nu: int = 2, nu_coarse: int = 24,
-                         min_local: int = 8, gamma: int = 2):
+                         min_local: int = 8, gamma: int = 2, nbr=None):
     """Distributed z = M^{-1} r: the (nu, nu)-cycle (W by default, see
-    _vcycle) with a 1-halo exchange per half-sweep/operator application
-    and width-2/1 exchanges around the transfers."""
+    _vcycle).  With `nbr` (parallel/dist._make_mg_nbr) the half-sweeps
+    and operator applications use the HALO-PIPELINED neighbour sum —
+    thin-slice edge exchanges with no dependency on the full-block
+    gather — instead of a blocking 1-halo pad per sweep; the transfers
+    keep the width-2/1 pad/crop exchanges (once per level visit)."""
     levels = build_dist_levels(grid_p1, cfg, lam, pad, crop, gsum,
                                red_fn, min_local=min_local)
 
@@ -403,7 +420,7 @@ def make_dist_mg_precond(grid_p1: Grid, cfg: Config, lam, pad, crop,
         # (tests/dist/test_single_reduction.py)
         return _vcycle(levels, 0, r * levels[0].mask, lam, nu,
                        nu_coarse, pad, crop, gsum, demean=False,
-                       gamma=gamma)
+                       gamma=gamma, nbr=nbr)
 
     return apply
 

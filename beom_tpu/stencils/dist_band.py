@@ -312,8 +312,8 @@ def neighbour_coords():
     my_y = lax.axis_index("y")
     my_x = lax.axis_index("x")
     return jnp.stack([
-        lax.pvary(my_y.astype(jnp.int32), ("x",)),
-        lax.pvary(my_x.astype(jnp.int32), ("y",)),
-        lax.pvary(((my_y + 1) % NY).astype(jnp.int32), ("x",)),
-        lax.pvary(((my_y + NY - 1) % NY).astype(jnp.int32), ("x",)),
+        lax.pcast(my_y.astype(jnp.int32), ("x",), to="varying"),
+        lax.pcast(my_x.astype(jnp.int32), ("y",), to="varying"),
+        lax.pcast(((my_y + 1) % NY).astype(jnp.int32), ("x",), to="varying"),
+        lax.pcast(((my_y + NY - 1) % NY).astype(jnp.int32), ("x",), to="varying"),
     ])

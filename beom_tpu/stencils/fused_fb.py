@@ -45,18 +45,22 @@ from beom_tpu.stepping import fb as fb_mod
 HALO_Y = 8
 
 
-def _halo_y(cfg: Config) -> int:
+def _halo_y(cfg: Config, steps_per_pass: int = 1) -> int:
     if cfg.scheme == "split":
         # the barotropic subcycle grows the dependence cone by <= 2
         # rows per substep on top of the slow-phase/fb radius
-        return -(-(HALO_Y + 2 * cfg.nsub) // 8) * 8
-    return HALO_Y
+        per_step = -(-(HALO_Y + 2 * cfg.nsub) // 8) * 8
+    else:
+        per_step = HALO_Y
+    # temporal blocking: k steps per HBM pass widen the cone k-fold
+    return -(-(per_step * steps_per_pass) // 8) * 8
 
 
 def make_pallas_stepper(grid: Grid, forcing: Forcing, cfg: Config,
                         by: Optional[int] = None,
                         bx: Optional[int] = None,   # unused (full width)
                         interpret: bool = False,
+                        steps_per_pass: int = 1,
                         vmem_limit_bytes: int = 100 * 1024 * 1024):
     """Returns step(state) -> state running the fused band kernel.
 
@@ -65,6 +69,12 @@ def make_pallas_stepper(grid: Grid, forcing: Forcing, cfg: Config,
     them.  Schemes: 'fb' and 'split' run fully in-kernel; rigid-lid /
     implicit-FS raise (use stencils/fused_projection.py).  f is
     beta-plane (affine), derived in-kernel.
+
+    steps_per_pass > 1 = TEMPORAL BLOCKING: the band advances k model
+    steps per HBM pass with a k-fold-wider y halo (the probe-validated
+    dependence cone is <= 5 rows/step), cutting HBM traffic per step
+    ~k-fold; one step() call then advances k steps.  Pays off only
+    while the kernel has DMA headroom — measure, don't assume.
     """
     if cfg.scheme not in ("fb", "split"):
         raise ValueError(
@@ -80,10 +90,14 @@ def make_pallas_stepper(grid: Grid, forcing: Forcing, cfg: Config,
     else:
         step_fn = fb_mod.fb_step
 
+    if steps_per_pass < 1:
+        raise ValueError("steps_per_pass must be >= 1")
+
     def body(f, grid_t, forcing_t, scal):
         n, t = scal
-        out = step_fn(State(h=f["h"], u=f["u"], v=f["v"], t=t, n=n),
-                      grid_t, forcing_t, cfg)
+        out = State(h=f["h"], u=f["u"], v=f["v"], t=t, n=n)
+        for _ in range(steps_per_pass):
+            out = step_fn(out, grid_t, forcing_t, cfg)
         return out.h, out.u, out.v
 
     nz = cfg.nz
@@ -91,7 +105,7 @@ def make_pallas_stepper(grid: Grid, forcing: Forcing, cfg: Config,
         grid, forcing, cfg, body,
         dyn=dict.fromkeys(("h", "u", "v"), grid.H[None].repeat(nz, 0)),
         out_leads=((nz,), (nz,), (nz,)),
-        wy=_halo_y(cfg), by=by, interpret=interpret,
+        wy=_halo_y(cfg, steps_per_pass), by=by, interpret=interpret,
         vmem_limit_bytes=vmem_limit_bytes,
         # split carries ~2x the live VMEM temporaries (SlowPhase +
         # subcycle carry) — halve the default band to stay in VMEM
@@ -103,7 +117,8 @@ def make_pallas_stepper(grid: Grid, forcing: Forcing, cfg: Config,
     def step(state: State) -> State:
         scal = jnp.stack([state.n.astype(dt), state.t.astype(dt)])
         h1, u1, v1 = call(scal, state.h, state.u, state.v)
-        return State(h=h1, u=u1, v=v1, t=state.t + cfg.dt,
-                     n=state.n + 1)
+        return State(h=h1, u=u1, v=v1,
+                     t=state.t + steps_per_pass * cfg.dt,
+                     n=state.n + steps_per_pass)
 
     return step
