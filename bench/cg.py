@@ -104,6 +104,41 @@ def main(argv):
             "resnorm_rel": float(np.sqrt(r.resnorm
                                          / float(jnp.sum(b * b))))}))
 
+    # --- Pallas-tier standalone multigrid (solver='mg'), amortized ----
+    # in a scan chunk: this sandbox's TPU tunnel re-marshals closure
+    # constants per jit call (~1.6 ms), which would otherwise dominate
+    from beom_tpu.solvers.multigrid import make_mg_solver
+    for sm in ("xla", "pallas"):
+        try:
+            solve = make_mg_solver(grid, cfg_tol, smoother=sm)
+
+            @jax.jit
+            def chunk(b):
+                def body(c, _):
+                    return solve(c) + 1e-12 * c, None
+                c, _ = jax.lax.scan(body, b, None, length=10)
+                return c
+            x = chunk(b)
+            jax.block_until_ready(x)
+            t0 = time.perf_counter()
+            x = chunk(b)
+            jax.block_until_ready(x)
+            dt = (time.perf_counter() - t0) / 10
+            Hu2, Hv2 = elliptic.face_depths(grid)
+            bb = (b - grid.mask * (jnp.sum(b * grid.mask)
+                                   / jnp.sum(grid.mask))) * grid.mask
+            xs = solve(b)
+            r = (bb - elliptic.laplacian_H(xs, Hu2, Hv2, grid,
+                                           cfg_tol)) * grid.mask
+            print(json.dumps({
+                "solver": f"mg_{sm}", "nx": nx, "ny": ny,
+                "seconds": round(dt, 5),
+                "resnorm_rel": float(jnp.linalg.norm(r)
+                                     / jnp.linalg.norm(bb))}))
+        except Exception as e:
+            print(json.dumps({"solver": f"mg_{sm}",
+                              "error": f"{type(e).__name__}: {e}"}))
+
 
 if __name__ == "__main__":
     main(sys.argv)

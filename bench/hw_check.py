@@ -84,3 +84,25 @@ if __name__ == "__main__":
     main(a[0] if a else "split",
          int(a[1]) if len(a) > 1 else 2048,
          n_time=int(a[2]) if len(a) > 2 else 30)
+
+
+def check_cond_miscompile(nx=2048, n=10):
+    """Regression probe for the XLA:TPU lax.cond branch miscompile
+    found in r4: nz=2 at 2048^2 corrupted every 48th row of u by ~437x
+    inside the cond (clean when the same expressions compile outside a
+    branch — fb.momentum_update now evaluates both sweep orders and
+    selects).  Run on the real TPU; CPU never reproduced it.
+
+        python -c "import bench.hw_check as h; h.check_cond_miscompile()"
+    """
+    from beom_tpu.cases import make_case
+    from beom_tpu.stepping import run_steps
+
+    cfg, grid, forcing, state = make_case("two_layer", nx=nx, ny=nx)
+    out = jax.jit(lambda s: run_steps(s, grid, forcing, cfg, n))(state)
+    u = np.asarray(out.u)
+    assert np.isfinite(u).all(), "two_layer blew up (cond miscompile?)"
+    # spurious rows show up 2-3 orders above the wind-only spin-up
+    assert np.abs(u).max() < 1e-4, \
+        f"umax {np.abs(u).max():.2e}: corrupted rows are back"
+    print(f"cond-miscompile probe OK: umax {np.abs(u).max():.3e}")

@@ -129,10 +129,12 @@ def main(argv):
         jax.config.update("jax_platforms", "cpu")
         if dtype == "float64":
             jax.config.update("jax_enable_x64", True)
-        for c, backend in (("double_gyre", "pallas"),
-                           ("rigid_lid", "pallas"),
-                           ("double_gyre", "xla")):
-            print(json.dumps(run_one_dist(c, n, nx, dtype,
+        # the projection leg pays interpret-mode emulation for BOTH
+        # band phases plus the XLA dist solve per step — quarter count
+        for c, backend, n_c in (("double_gyre", "pallas", n),
+                                ("rigid_lid", "pallas", max(n // 4, 100)),
+                                ("double_gyre", "xla", n)):
+            print(json.dumps(run_one_dist(c, n_c, nx, dtype,
                                           backend=backend)),
                   flush=True)
         return

@@ -452,7 +452,9 @@ def make_dist_pallas_stepper(grid: Grid, forcing: Forcing, cfg: Config,
         if cfg.scheme == "split":
             out = split_mod.split_step(s, grid_t, forcing_t, cfg)
         else:
-            out = fb_mod.fb_step(s, grid_t, forcing_t, cfg)
+            # parity="cond": Mosaic scalar branch (fb.momentum_update)
+            out = fb_mod.fb_step(s, grid_t, forcing_t, cfg,
+                                 parity="cond")
         return out.h, out.u, out.v
 
     # stream the staggered masks / f_q too: in-kernel reconstruction
@@ -575,7 +577,8 @@ def make_dist_pallas_projection_stepper(grid: Grid, forcing: Forcing,
         st = State(h=f["h"], u=f["u"], v=f["v"], t=t, n=n)
         u_s, v_s = fb_mod.momentum_update(f["h"], st, grid_t,
                                           forcing_t, cfg,
-                                          free_surface=False)
+                                          free_surface=False,
+                                          parity="cond")
         U, V = barotropic_transport(f["h"], u_s, v_s, grid_t)
         div = (ops.d_xm(U, cfg.dx) + ops.d_ym(V, cfg.dy)) * grid_t.mask
         return u_s, v_s, div

@@ -426,18 +426,22 @@ def make_dist_mg_precond(grid_p1: Grid, cfg: Config, lam, pad, crop,
 
 
 def _make_pallas_smoothers(levels, nu: int, lam: float,
-                           min_ny: int = 256, interpret: bool = False):
+                           min_ny: int = 256, interpret: bool = False,
+                           stop: Optional[int] = None):
     """Per-level (forward, reverse) blocked-sweep Pallas kernels for
     levels tall enough to amortize a kernel launch; None entries (small
-    levels, the coarsest) fall back to the XLA half-sweeps.  Each
+    levels, the coarsest, and levels >= `stop` — those delegated to the
+    fused coarse-stack kernel) fall back to the XLA half-sweeps.  Each
     kernel runs the whole nu-sweep smooth in one HBM pass (vs 2*nu
     passes of XLA half-sweeps); omega = 1 matches _halfsweep."""
     from beom_tpu.stencils.redblack_pallas import make_level_sweep
 
+    stop = len(levels) if stop is None else stop
     out = []
     for j, lv in enumerate(levels):
         ny, nx = lv.mask.shape
-        if j == len(levels) - 1 or ny < min_ny or ny % 8:
+        if (j == len(levels) - 1 or j >= stop or ny < min_ny
+                or ny % 8):
             out.append(None)
             continue
         kw = dict(lam=lam, k=nu, omega=1.0, interpret=interpret)
@@ -514,12 +518,13 @@ def make_mg_precond(grid: Grid, cfg: Config, lam: float = 0.0,
     levels = build_levels(grid, cfg, lam, min_size=min_size)
     smooth, coarse = None, None
     if smoother == "pallas":
-        smooth = _make_pallas_smoothers(levels, nu, lam,
-                                        interpret=interpret)
         gamma = _pallas_gamma_schedule(levels, gamma)
         coarse = _make_pallas_coarse(levels, lam, nu, nu_coarse,
                                      demean=False, gamma=gamma,
                                      interpret=interpret)
+        smooth = _make_pallas_smoothers(
+            levels, nu, lam, interpret=interpret,
+            stop=coarse[0] if coarse else None)
 
     def apply(r):
         return _vcycle(levels, 0, r * levels[0].mask, lam, nu,
@@ -553,12 +558,13 @@ def make_mg_solver(grid: Grid, cfg: Config, lam: float = 0.0,
     levels = build_levels(grid, cfg, lam, min_size=min_size)
     smooth, coarse = None, None
     if smoother == "pallas":
-        smooth = _make_pallas_smoothers(levels, nu, lam,
-                                        interpret=interpret)
         gamma = _pallas_gamma_schedule(levels, gamma)
         coarse = _make_pallas_coarse(levels, lam, nu, nu_coarse,
                                      demean=True, gamma=gamma,
                                      interpret=interpret)
+        smooth = _make_pallas_smoothers(
+            levels, nu, lam, interpret=interpret,
+            stop=coarse[0] if coarse else None)
     lv0 = levels[0]
     tol0 = cfg.solver_tol if tol is None else tol
     maxiter = cfg.solver_maxiter if maxiter is None else maxiter

@@ -385,8 +385,14 @@ def make_band_call(grid: Grid, forcing: Forcing, cfg: Config,
 
     static_vals = tuple(statics.values())
 
-    def apply(scal, *dyn_arrays):
-        return call(scal, *dyn_arrays, *static_vals)
+    def apply(scal, *dyn_arrays, statics=None):
+        """statics: optional tuple overriding the closed-over grid/
+        forcing operands — pass them as explicit jit ARGUMENTS when
+        the caller's jit would otherwise capture them as constants
+        (at 8192^2 the ~2 GB constant payload exceeds the sandbox's
+        remote-compile request limit; bench/stencil.bench_fb_large)."""
+        vals = static_vals if statics is None else statics
+        return call(scal, *dyn_arrays, *vals)
 
     return apply
 

@@ -18,9 +18,16 @@ Schemes:
   * rigid-lid / implicit-FS need a global elliptic solve per step —
     see stencils/fused_projection.py for their composed Pallas path.
 
-Traffic per point per step (f32, nz=1, by=128):
-  read (h,u,v,H,mask,taux,tauy) * (1 + 2*24/128) + write (h,u,v)
-  = 7 * 1.375 + 3 = 12.6 words = 50 B  ->  bound ~16 G pts/s on v5e.
+Traffic per point per step (f32, nz=1, by=256, wy=8):
+  read (h,u,v,H,mask,taux,tauy) * (1 + 2*8/256) + write (h,u,v)
+  = 7 * 1.0625 + 3 = 10.44 words = 41.75 B -> spec bound 19.6 G pt/s
+  on v5e.  Measured r4 (single-tenant): the same DMA pattern with a
+  passthrough body reaches 9.68 G pt/s (the EMPIRICAL DMA roof — ~49 %
+  of paper HBM BW on these band-sized transfers), the full kernel
+  7.31 G pt/s (75 % of that roof, partial DMA/compute overlap), and
+  steps_per_pass=4 temporal blocking 9.05 G pt/s effective (traffic
+  /4, compute +25 % -> the compute ceiling ~11 G pt/s becomes the
+  limiter).  Full decomposition in BASELINE.md.
 """
 
 from __future__ import annotations
@@ -88,7 +95,10 @@ def make_pallas_stepper(grid: Grid, forcing: Forcing, cfg: Config,
     if cfg.scheme == "split":
         from beom_tpu.stepping.split import split_step as step_fn
     else:
-        step_fn = fb_mod.fb_step
+        def step_fn(s, g, f_, c):
+            # parity="cond": Mosaic's scalar branch, unaffected by the
+            # XLA:TPU cond miscompile (see fb.momentum_update)
+            return fb_mod.fb_step(s, g, f_, c, parity="cond")
 
     if steps_per_pass < 1:
         raise ValueError("steps_per_pass must be >= 1")

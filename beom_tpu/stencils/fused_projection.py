@@ -76,7 +76,8 @@ def make_pallas_projection_stepper(
         n, t = scal
         state = State(h=f["h"], u=f["u"], v=f["v"], t=t, n=n)
         u_s, v_s = fb.momentum_update(f["h"], state, grid_t, forcing_t,
-                                      cfg, free_surface=False)
+                                      cfg, free_surface=False,
+                                      parity="cond")
         U, V = barotropic_transport(f["h"], u_s, v_s, grid_t)
         div = (ops.d_xm(U, cfg.dx) + ops.d_ym(V, cfg.dy)) * grid_t.mask
         return u_s, v_s, div

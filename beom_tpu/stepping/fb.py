@@ -80,10 +80,18 @@ def momentum_update(h1, state: State, grid: Grid, forcing: Forcing,
     g*eta surface-pressure term for the projection steppers
     (stepping/projection.py), which supply it via the elliptic solve.
 
-    parity: None (default) branches on state.n at runtime (lax.cond);
-    True/False pins the sweep order at trace time — the fused Pallas
-    kernels compile one kernel per parity so neither branch's work is
-    wasted in-kernel (stencils/fused_fb.py; r1 VERDICT item 5).
+    parity: None (default) evaluates BOTH sweep orders and selects by
+    state.n's parity — NOT lax.cond: XLA:TPU miscompiles the cond's
+    branch computations at some shapes (r4, jax 0.9.0: nz=2 at 2048^2
+    corrupts every 48th row of u by ~437x while the identical
+    expressions compile correctly outside lax.cond; CPU is clean
+    either way; probe in bench/hw_check.py).  True/False pins the
+    sweep order at trace time (the distributed pad-run-crop tier keys
+    it off the known step index).  parity="cond" keeps the runtime
+    lax.cond for the Mosaic kernels only: Mosaic lowers it as a real
+    scalar branch (measured 6% faster than per-parity kernels, r1
+    item 5) and is not affected by the XLA:TPU branch miscompile
+    (2-layer fused kernel validated finite at the failing shape).
     """
     u, v = state.u, state.v
     dt = cfg.dt
@@ -115,6 +123,12 @@ def momentum_update(h1, state: State, grid: Grid, forcing: Forcing,
         return u1, v1
 
     if parity is None:
+        even = state.n % 2 == 0
+        u1a, v1a = u_first(None)
+        u1b, v1b = v_first(None)
+        u1 = jnp.where(even, u1a, u1b)
+        v1 = jnp.where(even, v1a, v1b)
+    elif parity == "cond":
         u1, v1 = jax.lax.cond(state.n % 2 == 0, u_first, v_first, None)
     else:
         u1, v1 = u_first(None) if parity else v_first(None)
