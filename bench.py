@@ -3,21 +3,25 @@
 
 Metric: effective grid-points/s/chip on the BASELINE.md config-1
 stencil — the 1-layer double-gyre forward-backward step, f32, chunked
-lax.scan on the attached TPU, fused Pallas band kernel with 4-step
-temporal blocking (4 model steps per HBM pass; exact-parity vs the
-1-step path is pinned by tests/unit/test_pallas.py and the on-hardware
-probe in the verify flow).
+lax.scan on the attached TPU, via the PRODUCT path
+(`Config(backend='pallas', steps_per_pass=4)` routed through
+`stepping.make_stepper`, exactly what `python -m beom_tpu.run
+double_gyre --set steps_per_pass=4` executes): the fused Pallas band
+kernel with 4-step temporal blocking (4 model steps per HBM pass;
+exact parity vs the 1-step path is pinned by
+tests/unit/test_pallas.py and the on-hardware probe in the verify
+flow).
 
 `vs_baseline` is the fraction of the HBM speed-of-light bound for the
 UNBLOCKED step (BASELINE.json `published` is empty — the reference has
 no published numbers — so speed-of-light is the honest denominator):
 41.75 B/pt/step of minimum traffic at 819 GB/s -> 19.6e9 pt/s.
 Temporal blocking cuts the per-step traffic k-fold, so values may
-legitimately approach or exceed 1.0; BASELINE.md holds the full
-accounting (empirical DMA roof, compute ceiling, per-tier rows).
-
-Extra per-config numbers go to stderr (the driver reads stdout's last
-line only).
+legitimately approach or exceed 1.0.  To keep the fraction
+self-explaining, a second JSON line on STDERR reports the unblocked
+measurement and the k-blocked bound alongside (the driver reads
+stdout's last line only); BASELINE.md holds the full accounting
+(empirical DMA roof, compute ceiling, per-tier rows).
 """
 
 from __future__ import annotations
@@ -40,13 +44,9 @@ def bench_stencil(nx=2048, ny=2048, n_steps=200, warmup=2,
     import dataclasses
 
     cfg, grid, forcing, state = make_case("double_gyre", nx=nx, ny=ny)
-    cfg = dataclasses.replace(cfg, backend=backend)
-    if steps_per_pass > 1:
-        from beom_tpu.stencils.fused_fb import make_pallas_stepper
-        step = make_pallas_stepper(grid, forcing, cfg,
-                                   steps_per_pass=steps_per_pass)
-    else:
-        step = make_stepper(grid, forcing, cfg)
+    cfg = dataclasses.replace(cfg, backend=backend,
+                              steps_per_pass=steps_per_pass)
+    step = make_stepper(grid, forcing, cfg)   # the product path
     n_calls = max(n_steps // steps_per_pass, 1)
 
     @jax.jit
@@ -69,12 +69,20 @@ def bench_stencil(nx=2048, ny=2048, n_steps=200, warmup=2,
     return nx * ny * n_calls * steps_per_pass / dt
 
 
-def roofline_bound(bytes_per_point=41.75):
-    """Minimum HBM traffic of one UNBLOCKED fused fb step (f32,
-    1 layer, by=256/wy=8 band plan): reads h,u,v,H,mask,taux,tauy at
-    (by+2wy)/by = 1.0625 halo redundancy + writes h,u,v
-    = 10.44 words = 41.75 B/pt (bench/roofline.py holds the general
-    accounting; BASELINE.md the measured DMA/compute decomposition)."""
+def traffic_bytes_per_point(steps_per_pass=1):
+    """Minimum HBM traffic per point PER MODEL STEP of the fused fb
+    band kernel (f32, 1 layer, by=256, wy=8*steps_per_pass): one pass
+    reads h,u,v,H,mask,taux,tauy at (by+2*wy)/by halo redundancy +
+    writes h,u,v, and advances steps_per_pass steps (bench/roofline.py
+    holds the general accounting)."""
+    by, wy = 256.0, 8.0 * steps_per_pass
+    words = 7.0 * (by + 2 * wy) / by + 3.0
+    return 4.0 * words / steps_per_pass
+
+
+def roofline_bound(bytes_per_point=None, steps_per_pass=1):
+    if bytes_per_point is None:
+        bytes_per_point = traffic_bytes_per_point(steps_per_pass)
     return HBM_BW / bytes_per_point
 
 
@@ -82,21 +90,38 @@ def main():
     attempts = (("pallas_tb4", dict(backend="pallas", steps_per_pass=4)),
                 ("pallas", dict(backend="pallas")),
                 ("xla", dict(backend="xla")))
-    value, metric = None, None
+    value, metric, spp = None, None, 1
     for name, kw in attempts:
         try:
             value = bench_stencil(**kw)
             metric = f"grid_points_per_s_per_chip_double_gyre_fb_{name}"
+            spp = kw.get("steps_per_pass", 1)
             break
         except Exception as e:            # each tier is best-effort
             print(f"{name} failed ({type(e).__name__}: {e}); "
                   "falling back", file=sys.stderr)
-    bound = roofline_bound()
+    bound1 = roofline_bound(steps_per_pass=1)
+    # context line (stderr): the unblocked measurement + the bound that
+    # matches the measured configuration, so vs_baseline is
+    # self-explaining (r4 VERDICT item 6 / ADVICE)
+    extra = {"unblocked_bound_41.75B/pt": round(bound1, 1),
+             "blocked_bound_tb%d" % spp:
+                 round(roofline_bound(steps_per_pass=spp), 1)}
+    if spp > 1:
+        try:
+            v1 = bench_stencil(backend="pallas")
+            extra["unblocked_pallas_measured"] = round(v1, 1)
+            extra["vs_blocked_bound"] = round(
+                value / roofline_bound(steps_per_pass=spp), 4)
+        except Exception as e:
+            print(f"unblocked context bench failed ({e})",
+                  file=sys.stderr)
+    print(json.dumps(extra), file=sys.stderr)
     print(json.dumps({
         "metric": metric,
         "value": round(value, 1),
         "unit": "points/s",
-        "vs_baseline": round(value / bound, 4),
+        "vs_baseline": round(value / bound1, 4),
     }))
 
 

@@ -82,6 +82,12 @@ class Config:
     # --- numerics ---
     dtype: str = "float32"        # compute dtype on device ('float64' oracle)
     backend: str = "xla"          # 'xla' | 'pallas' (fused stencil kernel)
+    steps_per_pass: int = 1       # TEMPORAL BLOCKING (pallas fb/split):
+                                  # model steps advanced per HBM pass;
+                                  # k>1 cuts per-step HBM traffic ~k-fold
+                                  # at the cost of a k-fold-wider y halo
+                                  # (stencils/fused_fb.py).  One step()
+                                  # call then advances k steps.
 
     # --- distribution (C20) ---
     mesh_x: int = 1               # device mesh extent along x
@@ -110,8 +116,42 @@ class Config:
             raise ValueError(f"unknown halo_impl {self.halo_impl!r}")
         if self.solver not in ("cg", "redblack", "mg"):
             raise ValueError(f"unknown solver {self.solver!r}")
+        if self.solver == "mg" and self.mesh_x * self.mesh_y > 1:
+            # reject at config time, not trace time (r4 ADVICE): the
+            # standalone-MG iteration is single-chip only
+            raise ValueError(
+                "solver='mg' (standalone multigrid cycles) is "
+                "single-chip; under a mesh use solver='cg' with "
+                "precond='mg' (distributed MG-preconditioned CG, one "
+                "psum/iteration)")
         if self.precond not in ("auto", "jacobi", "ssor", "mg"):
             raise ValueError(f"unknown precond {self.precond!r}")
+        if self.steps_per_pass < 1:
+            raise ValueError("steps_per_pass must be >= 1")
+        if self.steps_per_pass > 1:
+            # temporal blocking lives in the fused band kernels: k model
+            # steps per HBM pass with a k-fold-wider halo.  The XLA tier
+            # has no pass structure to block, and the projection schemes
+            # need a global elliptic solve every step.
+            if self.backend != "pallas" or self.scheme not in ("fb",
+                                                               "split"):
+                raise ValueError(
+                    "steps_per_pass > 1 (temporal blocking) requires "
+                    "backend='pallas' and scheme='fb'|'split'")
+            per = 8 if self.scheme == "fb" else \
+                -(-(8 + 2 * self.nsub) // 8) * 8
+            wy = -(-(per * self.steps_per_pass) // 8) * 8
+            ny_l = self.ny // self.mesh_y
+            if 2 * wy + 8 > ny_l:
+                raise ValueError(
+                    f"steps_per_pass={self.steps_per_pass} needs a "
+                    f"{wy}-row halo twice over, but the local block has "
+                    f"only {ny_l} rows; lower steps_per_pass or use a "
+                    "taller grid")
+            if self.mesh_y * self.mesh_x > 1 and self.steps_per_pass > 2:
+                raise ValueError(
+                    "distributed temporal blocking supports "
+                    "steps_per_pass <= 2 (stencils/dist_band.py)")
 
     # -- derived, all static Python values ------------------------------
 

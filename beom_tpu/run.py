@@ -66,15 +66,29 @@ def run(cfg: Config, grid: Grid, forcing: Forcing, state: State,
         def make_advance(k):
             return make_dist_stepper(grid, forcing, cfg, mesh, n_inner=k)
     elif cfg.backend == "pallas":
+        import dataclasses
+
         from beom_tpu.stepping import make_stepper
-        pstep = make_stepper(grid, forcing, cfg)
+        spp = cfg.steps_per_pass
+        pstep = make_stepper(grid, forcing, cfg)  # advances spp steps
+        pstep1 = pstep if spp == 1 else make_stepper(
+            grid, forcing, dataclasses.replace(cfg, steps_per_pass=1))
 
         def make_advance(k):
+            # k model steps = k//spp temporally-blocked passes + a
+            # 1-step tail for any remainder (k < spp or k % spp != 0)
+            n_pass, rem = divmod(k, spp)
+
             @jax.jit
             def advance(s):
-                def body(s, _):
-                    return pstep(s), None
-                s, _ = jax.lax.scan(body, s, None, length=k)
+                def body(step_fn, s, length):
+                    def b(s, _):
+                        return step_fn(s), None
+                    s, _ = jax.lax.scan(b, s, None, length=length)
+                    return s
+                s = body(pstep, s, n_pass)
+                if rem:
+                    s = body(pstep1, s, rem)
                 return s
             return advance
     else:

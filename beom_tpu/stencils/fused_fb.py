@@ -66,7 +66,7 @@ def _halo_y(cfg: Config, steps_per_pass: int = 1) -> int:
 def make_pallas_stepper(grid: Grid, forcing: Forcing, cfg: Config,
                         by: Optional[int] = None,
                         bx: Optional[int] = None,   # unused (full width)
-                        interpret: bool = False,
+                        interpret: Optional[bool] = None,
                         steps_per_pass: int = 1,
                         vmem_limit_bytes: int = 100 * 1024 * 1024):
     """Returns step(state) -> state running the fused band kernel.
@@ -87,6 +87,8 @@ def make_pallas_stepper(grid: Grid, forcing: Forcing, cfg: Config,
         raise ValueError(
             "fused_fb implements scheme='fb'/'split'; projection "
             "schemes use stencils/fused_projection.py")
+    if interpret is None:   # auto: Pallas interpreter off-TPU, so the
+        interpret = jax.default_backend() != "tpu"  # product path tests on CPU
     # NOTE (r1 VERDICT item 5, measured): compiling one kernel per
     # FB-Coriolis parity and branching at the XLA level was tried and
     # benched 6% SLOWER than the in-kernel lax.cond (4.10 vs

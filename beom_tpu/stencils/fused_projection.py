@@ -55,7 +55,7 @@ def make_pallas_projection_stepper(
         grid: Grid, forcing: Forcing, cfg: Config,
         by: Optional[int] = None,
         k_sweeps: int = 8,
-        interpret: bool = False,
+        interpret: Optional[bool] = None,
         vmem_limit_bytes: int = 100 * 1024 * 1024):
     """Returns step(state) -> state for scheme='rigid_lid'/'implicit_fs'
     with both band phases (and, for solver='redblack', the elliptic
@@ -63,6 +63,8 @@ def make_pallas_projection_stepper(
     if cfg.scheme not in ("rigid_lid", "implicit_fs"):
         raise ValueError("fused_projection implements the projection "
                          "schemes; fb/split use stencils/fused_fb.py")
+    if interpret is None:   # auto: Pallas interpreter off-TPU
+        interpret = jax.default_backend() != "tpu"
     rigid = cfg.scheme == "rigid_lid"
     dt = cfg.dt
     lam = 0.0 if rigid else 1.0 / (cfg.g * dt * dt)

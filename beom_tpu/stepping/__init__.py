@@ -47,7 +47,8 @@ def make_stepper(grid, forcing, cfg: Config):
     """Jitted step(state) -> state for cfg.scheme, closing over statics.
 
     cfg.backend='pallas' routes through the fused TPU stencil kernels:
-    fb/split via stencils/fused_fb.py (one band pass per step),
+    fb/split via stencils/fused_fb.py (cfg.steps_per_pass model steps
+    per band pass — one step() call advances steps_per_pass steps),
     rigid-lid/implicit-FS via stencils/fused_projection.py (band
     phases around the elliptic solve).  backend='xla' is the op-by-op
     reference path.
@@ -58,7 +59,8 @@ def make_stepper(grid, forcing, cfg: Config):
                 make_pallas_projection_stepper)
             return make_pallas_projection_stepper(grid, forcing, cfg)
         from beom_tpu.stencils.fused_fb import make_pallas_stepper
-        return make_pallas_stepper(grid, forcing, cfg)
+        return make_pallas_stepper(grid, forcing, cfg,
+                                   steps_per_pass=cfg.steps_per_pass)
     step = get_step(cfg)
 
     def stepper(state):
