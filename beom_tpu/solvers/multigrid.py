@@ -504,7 +504,8 @@ def _make_pallas_coarse(levels, lam: float, nu: int, nu_coarse: int,
 def make_mg_precond(grid: Grid, cfg: Config, lam: float = 0.0,
                     nu: int = 2, nu_coarse: int = 24,
                     min_size: int = 16, gamma: int = 2,
-                    smoother: str = "xla", interpret: bool = False):
+                    smoother: str = "xla", interpret: bool = False,
+                    coarse_size: int = 512):
     """z = M^{-1} r as one symmetric (nu, nu)-cycle, for cg_solve.
     gamma = 2 (W-cycle) by default — see _vcycle for the measurement.
 
@@ -521,6 +522,7 @@ def make_mg_precond(grid: Grid, cfg: Config, lam: float = 0.0,
         gamma = _pallas_gamma_schedule(levels, gamma)
         coarse = _make_pallas_coarse(levels, lam, nu, nu_coarse,
                                      demean=False, gamma=gamma,
+                                     coarse_size=coarse_size,
                                      interpret=interpret)
         smooth = _make_pallas_smoothers(
             levels, nu, lam, interpret=interpret,
@@ -539,7 +541,7 @@ def make_mg_solver(grid: Grid, cfg: Config, lam: float = 0.0,
                    maxiter: Optional[int] = None,
                    nu: int = 2, nu_coarse: int = 24, gamma: int = 2,
                    min_size: int = 16, smoother: str = "xla",
-                   interpret: bool = False):
+                   interpret: bool = False, coarse_size: int = 512):
     """Standalone multigrid iteration x_{k+1} = x_k + C(b - A x_k),
     with C one (nu, nu) gamma-cycle (gamma = 2, a W-cycle, by default).
     Returns solve(b, x0=None) -> x; used when cfg.solver = 'mg'.
@@ -561,6 +563,7 @@ def make_mg_solver(grid: Grid, cfg: Config, lam: float = 0.0,
         gamma = _pallas_gamma_schedule(levels, gamma)
         coarse = _make_pallas_coarse(levels, lam, nu, nu_coarse,
                                      demean=True, gamma=gamma,
+                                     coarse_size=coarse_size,
                                      interpret=interpret)
         smooth = _make_pallas_smoothers(
             levels, nu, lam, interpret=interpret,

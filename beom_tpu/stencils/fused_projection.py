@@ -124,24 +124,71 @@ def make_pallas_projection_stepper(
                                smoother="pallas" if not interpret
                                else "xla")
     else:
-        kw = {}
         pre = cfg.precond
         if pre == "auto":
             pre = "mg" if lam == 0.0 else "jacobi"
-        if pre == "ssor":
-            kw["precond"] = elliptic.make_ssor_precond(grid, cfg, lam=lam)
-        elif pre == "mg":
-            from beom_tpu.solvers.multigrid import make_mg_precond
-            # Pallas tier: blocked fine-level sweeps + the fused
-            # coarse-stack kernel (solvers/multigrid.py) — the XLA
-            # cycle is dispatch-latency-bound on TPU
-            kw["precond"] = make_mg_precond(
-                grid, cfg, lam=lam,
-                smoother="xla" if interpret else "pallas",
-                interpret=interpret)
+        fused_solve = None
+        if pre in ("jacobi", "mg"):
+            # whole-solve-in-one-kernel tier: the complete CG state
+            # (and the MG hierarchy) lives in VMEM, so the solve is a
+            # single launch (stencils/cg_vmem.py; ~31 us device time
+            # for a 5-iteration 512^2 Helmholtz solve vs ~15 XLA
+            # dispatches per iteration)
+            try:
+                from beom_tpu.stencils.cg_vmem import make_vmem_cg_solve
+                fused_solve = make_vmem_cg_solve(
+                    grid, cfg, lam=lam, precond=pre, interpret=interpret)
+            except ValueError:
+                fused_solve = None    # solver state exceeds VMEM
 
-        def solve(b, x0=None):
-            return elliptic.cg_solve(b, grid, cfg, x0=x0, lam=lam, **kw).x
+        if fused_solve is not None:
+            def solve(b, x0=None):
+                return fused_solve(b, x0=x0).x
+        else:
+            kw = {}
+            if pre == "ssor":
+                kw["precond"] = elliptic.make_ssor_precond(grid, cfg,
+                                                           lam=lam)
+            elif pre == "mg":
+                from beom_tpu.solvers.multigrid import make_mg_precond
+                # Pallas tier: blocked fine-level sweeps + the fused
+                # coarse-stack kernel (solvers/multigrid.py) — the XLA
+                # cycle is dispatch-latency-bound on TPU
+                kw["precond"] = make_mg_precond(
+                    grid, cfg, lam=lam,
+                    smoother="xla" if interpret else "pallas",
+                    interpret=interpret)
+
+            if pre == "mg" and not interpret:
+                # r4 ADVICE (medium): the temporally-blocked band-lagged
+                # Pallas smoother makes M only approximately symmetric;
+                # at an untested grid/mask CG could stall silently.
+                # Guard: when the residual says the solve stalled, redo
+                # it with the exactly-symmetric XLA-smoothed cycle.
+                # (scalar-predicate lax.cond with call-style branches —
+                # not the elementwise-fusion shape of the r4 XLA:TPU
+                # cond miscompile; bench/hw_check.py probes that class.)
+                from beom_tpu.solvers.multigrid import make_mg_precond
+                sym = dict(kw)
+                sym["precond"] = make_mg_precond(grid, cfg, lam=lam)
+
+                def solve(b, x0=None):
+                    res = elliptic.cg_solve(b, grid, cfg, x0=x0,
+                                            lam=lam, **kw)
+                    eps = jnp.finfo(b.dtype).eps
+                    tol_eff = max(cfg.solver_tol, 30.0 * float(eps))
+                    b2 = jnp.sum((b * grid.mask) ** 2)
+                    thr = tol_eff * tol_eff * jnp.maximum(
+                        b2, jnp.finfo(b.dtype).tiny)
+                    return jax.lax.cond(
+                        res.resnorm > 100.0 * thr,
+                        lambda _: elliptic.cg_solve(
+                            b, grid, cfg, x0=x0, lam=lam, **sym).x,
+                        lambda _: res.x, None)
+            else:
+                def solve(b, x0=None):
+                    return elliptic.cg_solve(b, grid, cfg, x0=x0,
+                                             lam=lam, **kw).x
 
     @jax.jit
     def step(state: State) -> State:

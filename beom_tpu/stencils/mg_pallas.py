@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -103,8 +104,15 @@ def make_coarse_stack_call(levels, lam: float, nu: int = 2,
     kernel = functools.partial(_coarse_kernel, nlev=nlev, dxys=dxys,
                                lam=lam, nu=nu, nu_coarse=nu_coarse,
                                gamma=gamma, demean=demean)
-    out_shape = jax.ShapeDtypeStruct(levels[0].mask.shape, dt)
+    ny0, nx0 = levels[0].mask.shape
+    # scoped-VMEM budget: ~25 level-0-sized live values covers the
+    # whole in-kernel hierarchy (measured 20.4 MiB at a 512^2 stack);
+    # the 16 MiB Mosaic default only fits stacks <= 256^2
+    vmem = max(32 * 2 ** 20, 25 * ny0 * nx0 * jnp.dtype(dt).itemsize)
+    out_shape = jax.ShapeDtypeStruct((ny0, nx0), dt)
     call = pl.pallas_call(kernel, out_shape=out_shape,
+                          compiler_params=pltpu.CompilerParams(
+                              vmem_limit_bytes=vmem),
                           interpret=interpret)
 
     def apply(b):
