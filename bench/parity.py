@@ -129,10 +129,15 @@ def main(argv):
         jax.config.update("jax_platforms", "cpu")
         if dtype == "float64":
             jax.config.update("jax_enable_x64", True)
-        # the projection leg pays interpret-mode emulation for BOTH
-        # band phases plus the XLA dist solve per step — quarter count
+        # the projection/split legs pay interpret-mode emulation for
+        # the band phases (plus the XLA dist solve per step for the
+        # projection schemes) — quarter count (r4 VERDICT item 3: all
+        # four schemes get a dist-parity artifact, not just two)
         for c, backend, n_c in (("double_gyre", "pallas", n),
+                                ("split_gyre", "pallas", max(n // 4, 100)),
                                 ("rigid_lid", "pallas", max(n // 4, 100)),
+                                ("implicit_fs", "pallas",
+                                 max(n // 4, 100)),
                                 ("double_gyre", "xla", n)):
             print(json.dumps(run_one_dist(c, n_c, nx, dtype,
                                           backend=backend)),

@@ -199,10 +199,16 @@ def _make_mg_nbr():
 
 def _dist_redblack(b, grid_l: Grid, grid_p1: Grid, cfg: Config, lam=0.0,
                    x0=None):
-    """Red-black SOR with a 1-halo exchange per half-sweep — no global
-    reductions at all, the preferred variant at large mesh scale
-    (SURVEY.md §4.3).  The checkerboard colouring must be *global*:
-    each shard offsets its local iota by its mesh coordinates."""
+    """Red-black SOR with HALO-PIPELINED neighbour sums per half-sweep
+    — no global reductions at all, the preferred variant at large mesh
+    scale (SURVEY.md §4.3).  r4 VERDICT item 5: the r2-r4 form padded a
+    blocking 1-halo per half-sweep, serialising the exchange with the
+    stencil; now each half-sweep computes the local 5-point neighbour
+    sum with periodic rolls (no comm dependency, so XLA's async
+    collectives run the thin-slice edge exchange concurrently) and
+    patches only the four 1-wide edge strips — the same pattern as
+    _cg_matvec / _make_mg_nbr.  The checkerboard colouring must be
+    *global*: each shard offsets its local iota by its mesh coords."""
     import jax
 
     Hu, Hv = elliptic.face_depths(grid_p1)
@@ -230,11 +236,18 @@ def _dist_redblack(b, grid_l: Grid, grid_p1: Grid, cfg: Config, lam=0.0,
     x = jnp.zeros_like(b) if x0 is None else x0 * grid_l.mask
 
     def halfsweep(x, colour):
-        xp = halo.pad2d(x, 1)
-        nb = (Hu_l * halo.crop2d(ops.sxp(xp), 1)
-              + Hu_w * halo.crop2d(ops.sxm(xp), 1)) * rdx2 \
-           + (Hv_l * halo.crop2d(ops.syp(xp), 1)
-              + Hv_s * halo.crop2d(ops.sym(xp), 1)) * rdy2
+        nb = (Hu_l * ops.sxp(x) + Hu_w * ops.sxm(x)) * rdx2 \
+           + (Hv_l * ops.syp(x) + Hv_s * ops.sym(x)) * rdy2
+        if jax.lax.axis_size("x") > 1:
+            recv_w, recv_e = _edge_recv(x, 1, "x")
+            ce = Hu_l[:, -1:] * (recv_e - x[:, :1]) * rdx2
+            cw = Hu_w[:, :1] * (recv_w - x[:, -1:]) * rdx2
+            nb = nb.at[:, -1:].add(ce).at[:, :1].add(cw)
+        if jax.lax.axis_size("y") > 1:
+            recv_s, recv_n = _edge_recv(x, 0, "y")
+            cn = Hv_l[-1:, :] * (recv_n - x[:1, :]) * rdy2
+            cs = Hv_s[:1, :] * (recv_s - x[-1:, :]) * rdy2
+            nb = nb.at[-1:, :].add(cn).at[:1, :].add(cs)
         x_gs = (b - nb) * inv_diag
         return jnp.where(colour > 0,
                          (1.0 - omega) * x + omega * x_gs,
@@ -436,7 +449,14 @@ def make_dist_pallas_stepper(grid: Grid, forcing: Forcing, cfg: Config,
         raise ValueError("dist pallas stepper implements fb/split")
     NY, NX = mesh.shape["y"], mesh.shape["x"]
     ny_l, nx_l = cfg.ny // NY, cfg.nx // NX
-    wy = fused_fb._halo_y(cfg)
+    # temporal blocking under the mesh (r4 VERDICT item 3): k model
+    # steps per band pass with a k-fold-wider RDMA halo — the ICI
+    # exchange count per model step drops k-fold, the same
+    # traffic-for-halo trade as the single-chip kernel (validated
+    # there bitwise; config.validate caps k at 2 under a mesh so the
+    # halo stays a small fraction of realistic shard heights)
+    spp = cfg.steps_per_pass
+    wy = fused_fb._halo_y(cfg, spp)
     wx = wy if NX > 1 else 0
     nxp = nx_l + 2 * wx
     if ny_l < 2 * wy + 8:
@@ -448,13 +468,14 @@ def make_dist_pallas_stepper(grid: Grid, forcing: Forcing, cfg: Config,
 
     def body(f, grid_t, forcing_t, scal):
         n, t = scal
-        s = State(h=f["h"], u=f["u"], v=f["v"], t=t, n=n)
-        if cfg.scheme == "split":
-            out = split_mod.split_step(s, grid_t, forcing_t, cfg)
-        else:
-            # parity="cond": Mosaic scalar branch (fb.momentum_update)
-            out = fb_mod.fb_step(s, grid_t, forcing_t, cfg,
-                                 parity="cond")
+        out = State(h=f["h"], u=f["u"], v=f["v"], t=t, n=n)
+        for _ in range(spp):
+            if cfg.scheme == "split":
+                out = split_mod.split_step(out, grid_t, forcing_t, cfg)
+            else:
+                # parity="cond": Mosaic scalar branch (fb.momentum_update)
+                out = fb_mod.fb_step(out, grid_t, forcing_t, cfg,
+                                     parity="cond")
         return out.h, out.u, out.v
 
     # stream the staggered masks / f_q too: in-kernel reconstruction
@@ -502,8 +523,8 @@ def make_dist_pallas_stepper(grid: Grid, forcing: Forcing, cfg: Config,
                 h1 = h1[..., wx:wx + nx_l]
                 u1 = u1[..., wx:wx + nx_l]
                 v1 = v1[..., wx:wx + nx_l]
-            return State(h=h1, u=u1, v=v1, t=s.t + cfg.dt,
-                         n=s.n + 1), None
+            return State(h=h1, u=u1, v=v1, t=s.t + spp * cfg.dt,
+                         n=s.n + spp), None
 
         state, _ = jax.lax.scan(body_scan, state, None, length=n_inner)
         return state

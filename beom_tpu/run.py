@@ -58,13 +58,31 @@ def run(cfg: Config, grid: Grid, forcing: Forcing, state: State,
 
     dist = cfg.mesh_x * cfg.mesh_y > 1
     if dist:
+        import dataclasses
+
         from beom_tpu.parallel.dist import make_dist_stepper
         from beom_tpu.parallel.mesh import make_mesh, shard_state
         mesh = make_mesh(cfg.mesh_y, cfg.mesh_x)
         state = shard_state(state, mesh)
 
         def make_advance(k):
-            return make_dist_stepper(grid, forcing, cfg, mesh, n_inner=k)
+            # k model steps = k//spp temporally-blocked passes + a
+            # 1-step tail (spp == 1 for all but the pallas fb/split tier)
+            n_pass, rem = divmod(k, cfg.steps_per_pass)
+            stepk = make_dist_stepper(grid, forcing, cfg, mesh,
+                                      n_inner=n_pass) if n_pass else None
+            step1 = make_dist_stepper(
+                grid, forcing,
+                dataclasses.replace(cfg, steps_per_pass=1), mesh,
+                n_inner=rem) if rem else None
+
+            def advance(s):
+                if stepk is not None:
+                    s = stepk(s)
+                if step1 is not None:
+                    s = step1(s)
+                return s
+            return advance
     elif cfg.backend == "pallas":
         import dataclasses
 

@@ -31,6 +31,16 @@ Plan (runs INSIDE shard_map over the ('y', 'x') mesh):
 1-vs-8-virtual-device equivalence for fb and split runs in pytest via
 the Pallas TPU interpreter (tests/dist/test_pallas_dist.py), like the
 rdma_halo kernel.  Enable with Config(backend='pallas', mesh_y>1).
+
+TEMPORAL BLOCKING (Config.steps_per_pass = k): the caller's band body
+advances k model steps per pass against a k-fold-wider halo
+(fused_fb._halo_y), so the RDMA exchange count per model step drops
+k-fold.  Crossover: the halo is k*8 rows each way (k*(8 + 2*nsub
+rounded up) for split), so a shard must have ny_l >= 2*k*wy_1 + 8
+rows, and the redundant-compute fraction 2*k*wy_1/ny_l grows with k —
+at ny_l = 256 and k = 2 it is 12.5 %, at ny_l = 128 it is 25 %, which
+roughly cancels the saved exchange unless the run is latency- (not
+compute-) bound.  config.validate caps k at 2 under a mesh.
 """
 
 from __future__ import annotations
