@@ -76,8 +76,11 @@ def run_one_dist(case, n_steps=1000, nx=64, dtype="float32",
     from beom_tpu.stepping import prepare_state
 
     my, mx = mesh_shape
-    kw = dict(nx=nx, ny=max(nx, 24 * my), dtype=dtype, backend=backend,
-              mesh_y=my, mesh_x=mx)
+    # split's in-kernel subcycle needs a 16-row halo (nsub=2), so its
+    # local blocks must hold 2*16+8 = 40 rows
+    rows = 48 if case == "split_gyre" else 24
+    kw = dict(nx=nx, ny=max(nx, rows * my), dtype=dtype,
+              backend=backend, mesh_y=my, mesh_x=mx)
     variants = {"split_gyre": ("double_gyre",
                                dict(scheme="split", nsub=2)),
                 "implicit_fs": ("rigid_lid",

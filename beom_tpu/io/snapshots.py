@@ -30,6 +30,8 @@ from beom_tpu.core.state import State
 
 def save_state(path, state: State) -> None:
     extra = {} if state.phi is None else {"phi": np.asarray(state.phi)}
+    if state.phi_prev is not None:
+        extra["phi_prev"] = np.asarray(state.phi_prev)
     np.savez_compressed(
         path,
         h=np.asarray(state.h), u=np.asarray(state.u), v=np.asarray(state.v),
@@ -39,9 +41,11 @@ def save_state(path, state: State) -> None:
 def load_state(path) -> State:
     with np.load(path) as z:
         phi = jnp.asarray(z["phi"]) if "phi" in z.files else None
+        phi_prev = (jnp.asarray(z["phi_prev"])
+                    if "phi_prev" in z.files else None)
         return State(h=jnp.asarray(z["h"]), u=jnp.asarray(z["u"]),
                      v=jnp.asarray(z["v"]), t=jnp.asarray(z["t"]),
-                     n=jnp.asarray(z["n"]), phi=phi)
+                     n=jnp.asarray(z["n"]), phi=phi, phi_prev=phi_prev)
 
 
 def snap_path(run_dir, step: int) -> str:

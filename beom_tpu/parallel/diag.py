@@ -54,7 +54,8 @@ def make_dist_diagnostics(grid: Grid, cfg: Config, mesh):
     carries_phi = (cfg.scheme in ("rigid_lid", "implicit_fs")
                    and cfg.warm_start)
     state_specs = State(h=SPEC3, u=SPEC3, v=SPEC3, t=P(), n=P(),
-                        phi=SPEC2 if carries_phi else None)
+                        phi=SPEC2 if carries_phi else None,
+                        phi_prev=SPEC2 if carries_phi else None)
     out_specs = {k: P() for k in ("t", "n", "mass", "ke", "max_speed",
                                   "cfl", "eta_rms", "finite")}
     fn = shard_map(local, mesh=mesh,

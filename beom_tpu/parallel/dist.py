@@ -332,7 +332,8 @@ def _dist_projection_step(state: State, pgrid: Grid, pforcing: Forcing,
     divU_p = (ops.d_xm(Up, cfg.dx) + ops.d_ym(Vp, cfg.dy)) * pgrid.mask
     divU = halo.crop2d(divU_p, w)
 
-    warm = state.phi if cfg.warm_start else None
+    from beom_tpu.stepping.projection import warm_x0
+    warm = warm_x0(state, cfg)
     if rigid:
         anom = (jnp.sum(state.h, axis=0) - grid_l.H) * grid_l.mask
         anom = anom - grid_l.mask * (halo.dist_dot(anom, grid_l.mask)
@@ -361,7 +362,9 @@ def _dist_projection_step(state: State, pgrid: Grid, pforcing: Forcing,
     # --- layer continuity + finalize on a small pad ---------------------
     out = _dist_continuity_finalize(state, state.h, u1, v1, pgrid,
                                     pforcing, cfg, w)
-    return out.replace(phi=phi) if state.phi is not None else out
+    if state.phi is not None:
+        out = out.replace(phi=phi, phi_prev=state.phi)
+    return out
 
 
 def _dist_continuity_finalize(state: State, h, u1, v1, pgrid: Grid,
@@ -658,7 +661,8 @@ def make_dist_pallas_projection_stepper(grid: Grid, forcing: Forcing,
             u_s, v_s, div = call_a(scal, nbr, h, u, v, *pstat)
             div_l = cropx(div)
 
-            warm = s.phi if cfg.warm_start else None
+            from beom_tpu.stepping.projection import warm_x0
+            warm = warm_x0(s, cfg)
             if rigid:
                 anom = (jnp.sum(s.h, axis=0) - grid_l.H) * grid_l.mask
                 anom = anom - grid_l.mask * (
@@ -676,16 +680,19 @@ def make_dist_pallas_projection_stepper(grid: Grid, forcing: Forcing,
             if wx:
                 pp = halo.pad_axis(pp, wx, -1, "x")
             h1, u1, v1 = call_b(scal, nbr, h, u_s, v_s, pp, *pstat)
+            carries = s.phi is not None
             return State(h=cropx(h1), u=cropx(u1), v=cropx(v1),
                          t=s.t + cfg.dt, n=s.n + 1,
-                         phi=p if s.phi is not None else None), None
+                         phi=p if carries else None,
+                         phi_prev=s.phi if carries else None), None
 
         state, _ = jax.lax.scan(body_scan, state, None, length=n_inner)
         return state
 
     carries_phi = cfg.warm_start
     state_specs = State(h=SPEC3, u=SPEC3, v=SPEC3, t=P(), n=P(),
-                        phi=SPEC2 if carries_phi else None)
+                        phi=SPEC2 if carries_phi else None,
+                        phi_prev=SPEC2 if carries_phi else None)
     specs_g1 = jax.tree.map(spec_for, pgrid1)
     static_specs = tuple(spec_for(a) for a in statics.values())
     fn = shard_map(shard_step, mesh=mesh,
@@ -739,7 +746,8 @@ def make_dist_stepper(grid: Grid, forcing: Forcing, cfg: Config, mesh,
     carries_phi = (cfg.scheme in ("rigid_lid", "implicit_fs")
                    and cfg.warm_start)
     state_specs = State(h=SPEC3, u=SPEC3, v=SPEC3, t=P(), n=P(),
-                        phi=SPEC2 if carries_phi else None)
+                        phi=SPEC2 if carries_phi else None,
+                        phi_prev=SPEC2 if carries_phi else None)
     specs_g = jax.tree.map(spec_for, pgrid)
     specs_f = jax.tree.map(spec_for, pforcing)
 

@@ -190,11 +190,13 @@ def make_pallas_projection_stepper(
                     return elliptic.cg_solve(b, grid, cfg, x0=x0,
                                              lam=lam, **kw).x
 
+    from beom_tpu.stepping.projection import warm_x0
+
     @jax.jit
     def step(state: State) -> State:
         scal = jnp.stack([state.n.astype(npdt), state.t.astype(npdt)])
         u_s, v_s, div = call_a(scal, state.h, state.u, state.v)
-        warm = state.phi if cfg.warm_start else None
+        warm = warm_x0(state, cfg)
 
         if rigid:
             # see stepping/projection.rigid_lid_step: the projection
@@ -211,8 +213,10 @@ def make_pallas_projection_stepper(
             p = solve(b, x0=eta_n if warm is None else warm)
 
         h1, u1, v1 = call_b(scal, state.h, u_s, v_s, p)
+        carries = state.phi is not None
         return State(h=h1, u=u1, v=v1, t=state.t + cfg.dt,
                      n=state.n + 1,
-                     phi=p if state.phi is not None else None)
+                     phi=p if carries else None,
+                     phi_prev=state.phi if carries else None)
 
     return step

@@ -22,8 +22,8 @@ def prepare_state(state, cfg: Config):
     if (cfg.scheme in ("rigid_lid", "implicit_fs") and cfg.warm_start
             and state.phi is None):
         import jax.numpy as jnp
-        return state.replace(phi=jnp.zeros(state.h.shape[1:],
-                                           state.h.dtype))
+        z = jnp.zeros(state.h.shape[1:], state.h.dtype)
+        return state.replace(phi=z, phi_prev=z)
     return state
 
 
