@@ -255,7 +255,7 @@ def _prolong2_h(a, pad=_id_pad, crop=None):
 
 def _vcycle(levels, k, b, lam, nu, nu_coarse, pad=_id_pad, crop=None,
             gsum=jnp.sum, demean=True, gamma=1, smooth=None,
-            transfers=None, coarse=None, nbr=None):
+            transfers=None, coarse=None, nbr=None, krylov=0):
     """One cycle on levels[k:], x0 = 0, returns the correction.
 
     gamma = 1 is a V-cycle; gamma = 2 a W-cycle (the coarse problem is
@@ -310,15 +310,20 @@ def _vcycle(levels, k, b, lam, nu, nu_coarse, pad=_id_pad, crop=None,
         x = jax.lax.fori_loop(0, nf, fsweep, x)
         return jax.lax.fori_loop(0, nu_coarse - nf, bsweep, x)
     sm = None if smooth is None else smooth[k]
-    # pre-smooth (red, black)
+    # pre-smooth (red, black); the blocked Pallas smoother returns the
+    # residual from the same band pass (band-edge rows carry the sweep
+    # lag — a preconditioner-grade approximation, like the smoothing)
+    r = None
     if sm is not None:
-        x = sm[0](x, b)
+        out = sm[0](x, b)
+        x, r = out if isinstance(out, tuple) else (out, None)
     else:
         for _ in range(nu):
             x = _halfsweep(lv, x, b, lv.red, pad, crop, nbr)
             x = _halfsweep(lv, x, b, lv.black, pad, crop, nbr)
     # coarse-grid correction on the residual
-    r = (b - _apply_A(lv, x, lam, pad, crop, nbr)) * lv.mask
+    if r is None:
+        r = (b - _apply_A(lv, x, lam, pad, crop, nbr)) * lv.mask
     lc = levels[k + 1]
     restrict = (lambda a: _restrict2_h(a, pad, crop)) \
         if transfers is None else (lambda a: transfers[0](a, k))
@@ -337,16 +342,52 @@ def _vcycle(levels, k, b, lam, nu, nu_coarse, pad=_id_pad, crop=None,
     # cell-centred transfers need the extra coarse accuracy), V below
     # — bounding the 2^k visit explosion that makes deep W-cycles
     # dispatch/latency-bound (r3 ADVICE).
-    g_k = gamma if isinstance(gamma, int) else \
-        gamma[min(k, len(gamma) - 1)]
-    xc = _vcycle(levels, k + 1, bc, lam, nu, nu_coarse, pad, crop,
-                 gsum, demean, gamma, smooth, transfers, coarse, nbr)
-    for _ in range(g_k - 1):
-        rc = (bc - _apply_A(levels[k + 1], xc, lam, pad, crop, nbr)) \
-            * lc.mask
-        xc = xc + _vcycle(levels, k + 1, rc, lam, nu, nu_coarse, pad,
-                          crop, gsum, demean, gamma, smooth, transfers,
-                          coarse, nbr)
+    def subcycle(rhs):
+        return _vcycle(levels, k + 1, rhs, lam, nu, nu_coarse, pad,
+                       crop, gsum, demean, gamma, smooth, transfers,
+                       coarse, nbr, krylov)
+
+    if krylov > 0 and (coarse is None or k + 1 < coarse[0]):
+        # K-CYCLE (Notay): the coarse problem is solved by `krylov`
+        # flexible-CG iterations preconditioned by the recursive cycle
+        # — same sub-cycle count as gamma=2 plus two coarse matvecs.
+        # Measured (r5, 2048^2 f64+f32): the plain W-cycle's recursive
+        # coarse solves make the cycle non-contractive for ultra-smooth
+        # error (first-cycle residual AMPLIFIED ~2x/~4x at 1024^2/
+        # 2048^2 — two-grid with the same smoother/transfers contracts
+        # at 0.47, so the transfers are marginal-but-sound and the
+        # recursion is what compounds the error); Krylov-accelerating
+        # each coarse solve restores contraction.  The K-cycle is
+        # NONLINEAR, so it is used by the standalone mg solver
+        # (Richardson outer loop, make_mg_solver) — NOT as a plain-CG
+        # preconditioner.
+        eps = jnp.finfo(bc.dtype).tiny
+
+        def sdiv(a, d):
+            mag = jnp.maximum(jnp.abs(d), eps)
+            return a / jnp.where(d < 0, -mag, mag)
+
+        z = subcycle(bc)
+        p, xc, rc = z, jnp.zeros_like(bc), bc
+        rz = gsum(rc * z)
+        for i in range(krylov):
+            q = _apply_A(levels[k + 1], p, lam, pad, crop, nbr)
+            alpha = sdiv(rz, gsum(p * q))
+            xc = xc + alpha * p
+            rc = (rc - alpha * q) * lc.mask
+            if i < krylov - 1:
+                z = subcycle(rc)
+                rz2 = gsum(rc * z)
+                p = z + sdiv(rz2, rz) * p
+                rz = rz2
+    else:
+        g_k = gamma if isinstance(gamma, int) else \
+            gamma[min(k, len(gamma) - 1)]
+        xc = subcycle(bc)
+        for _ in range(g_k - 1):
+            rc = (bc - _apply_A(levels[k + 1], xc, lam, pad, crop,
+                                nbr)) * lc.mask
+            xc = xc + subcycle(rc)
     if lam == 0.0 and demean:
         xc = (xc - lc.mask * (gsum(xc) / lc.nwet)) * lc.mask
     x = (x + prolong(xc)) * lv.mask
@@ -447,7 +488,11 @@ def _make_pallas_smoothers(levels, nu: int, lam: float,
         kw = dict(lam=lam, k=nu, omega=1.0, interpret=interpret)
         dx = 1.0 / lv.rdx2 ** 0.5
         dy = 1.0 / lv.rdy2 ** 0.5
-        fwd = make_level_sweep(lv.Hu, lv.Hv, lv.mask, dx, dy, **kw)
+        # forward (pre-)smooth also emits the post-sweep residual from
+        # the same band pass — the cycle's residual+restrict chain then
+        # needs no separate XLA matvec over the level (r4 item 1b)
+        fwd = make_level_sweep(lv.Hu, lv.Hv, lv.mask, dx, dy,
+                               residual=True, **kw)
         bwd = make_level_sweep(lv.Hu, lv.Hv, lv.mask, dx, dy,
                                reverse=True, **kw)
         out.append((fwd, bwd))
@@ -541,7 +586,8 @@ def make_mg_solver(grid: Grid, cfg: Config, lam: float = 0.0,
                    maxiter: Optional[int] = None,
                    nu: int = 2, nu_coarse: int = 24, gamma: int = 2,
                    min_size: int = 16, smoother: str = "xla",
-                   interpret: bool = False, coarse_size: int = 512):
+                   interpret: bool = False, coarse_size: int = 512,
+                   krylov: int = 2):
     """Standalone multigrid iteration x_{k+1} = x_k + C(b - A x_k),
     with C one (nu, nu) gamma-cycle (gamma = 2, a W-cycle, by default).
     Returns solve(b, x0=None) -> x; used when cfg.solver = 'mg'.
@@ -569,6 +615,21 @@ def make_mg_solver(grid: Grid, cfg: Config, lam: float = 0.0,
             levels, nu, lam, interpret=interpret,
             stop=coarse[0] if coarse else None)
     lv0 = levels[0]
+    if smoother == "pallas" and len(levels) > 1 \
+            and lv0.mask.shape[0] >= 256:
+        # EXACT outer residual as one band pass (vs ~6 XLA passes,
+        # 0.876 ms measured at 2048^2) — exact, not sweep-lagged: the
+        # carried residual is both the convergence check and the next
+        # cycle's input, so the iteration's fixed point must satisfy
+        # b - A x = 0 precisely
+        from beom_tpu.stencils.redblack_pallas import make_apply_kernel
+        resid0 = make_apply_kernel(
+            lv0.Hu, lv0.Hv, lv0.mask, 1.0 / lv0.rdx2 ** 0.5,
+            1.0 / lv0.rdy2 ** 0.5, lam=lam, mode="residual",
+            interpret=interpret)
+    else:
+        def resid0(x, b):
+            return (b - _apply_A(lv0, x, lam)) * lv0.mask
     tol0 = cfg.solver_tol if tol is None else tol
     maxiter = cfg.solver_maxiter if maxiter is None else maxiter
 
@@ -583,27 +644,43 @@ def make_mg_solver(grid: Grid, cfg: Config, lam: float = 0.0,
         threshold = (tol_ * tol_) * jnp.maximum(
             b2, jnp.finfo(b.dtype).tiny)
 
+        # Stopping: tolerance, maxiter, or stagnation with PATIENCE —
+        # no new best |r|^2 for 3 consecutive cycles.  The cell-centred
+        # bilinear-transfer coarse correction is non-contractive for
+        # ultra-smooth error at large grids (measured r5, f64 AND f32:
+        # the FIRST cycle amplifies a low-frequency RHS ~2x/~4x at
+        # 1024^2/2048^2; two-grid with the same smoother/transfers
+        # contracts at 0.47), so the K-cycle (krylov=2) iteration
+        # transiently GROWS the residual before converging — a plain
+        # "progress vs previous cycle" gate (r4's 0.95, r5's first
+        # 0.75) exits on that transient with a garbage iterate.  The
+        # BEST iterate seen is carried and returned.
         def cond(c):
-            x, r, rr, rr_prev, k = c
-            # stop on tolerance, stagnation (< 5%/cycle) or maxiter
+            x, r, rr, xb, rrb, since, k = c
             return jnp.logical_and(
                 k < maxiter,
-                jnp.logical_and(rr > threshold, rr < 0.95 * rr_prev))
+                jnp.logical_and(rr > threshold, since < 3))
 
         def body(c):
-            x, r, rr, _, k = c
+            x, r, rr, xb, rrb, since, k = c
             x = (x + _vcycle(levels, 0, r, lam, nu, nu_coarse,
                              gamma=gamma, smooth=smooth,
-                             coarse=coarse)) * lv0.mask
-            r2 = (b - _apply_A(lv0, x, lam)) * lv0.mask
-            return x, r2, jnp.sum(r2 * r2), rr, k + 1
+                             coarse=coarse, krylov=krylov)) * lv0.mask
+            r2 = resid0(x, b)
+            rr2 = jnp.sum(r2 * r2)
+            better = rr2 < 0.75 * rrb     # a new best must be worth
+            xb = jnp.where(better, x, xb)  # the cycle it cost
+            rrb = jnp.where(better, rr2, rrb)
+            since = jnp.where(better, 0, since + 1)
+            return x, r2, rr2, xb, rrb, since, k + 1
 
-        r0 = (b - _apply_A(lv0, x, lam)) * lv0.mask
+        r0 = resid0(x, b)
         rr0 = jnp.sum(r0 * r0)
-        inf = jnp.full((), jnp.inf, b.dtype)
-        x, _, rr, _, k = jax.lax.while_loop(
-            cond, body, (x, r0, rr0, inf, jnp.zeros((), jnp.int32)))
-        return x
+        out = jax.lax.while_loop(
+            cond, body, (x, r0, rr0, x, rr0,
+                         jnp.zeros((), jnp.int32),
+                         jnp.zeros((), jnp.int32)))
+        return out[3]                      # best iterate
 
     return solve
 
@@ -611,9 +688,9 @@ def make_mg_solver(grid: Grid, cfg: Config, lam: float = 0.0,
 def mg_solve(b, grid: Grid, cfg: Config, lam: float = 0.0, x0=None,
              tol: Optional[float] = None, maxiter: Optional[int] = None,
              nu: int = 2, nu_coarse: int = 24, gamma: int = 2,
-             smoother: str = "xla"):
+             smoother: str = "xla", krylov: int = 2):
     """One-shot convenience wrapper over make_mg_solver (cfg.solver =
     'mg' dispatch, stepping/projection._solve)."""
     return make_mg_solver(grid, cfg, lam=lam, tol=tol, maxiter=maxiter,
                           nu=nu, nu_coarse=nu_coarse, gamma=gamma,
-                          smoother=smoother)(b, x0=x0)
+                          smoother=smoother, krylov=krylov)(b, x0=x0)

@@ -146,6 +146,14 @@ def make_pallas_projection_stepper(
                 return fused_solve(b, x0=x0).x
         else:
             kw = {}
+            # NOTE (measured, r5): swapping the CG matvec for the
+            # single-pass Pallas apply kernel REGRESSED implicit_fs
+            # 2048^2 from 300.8e6 to 191.7e6 pts/s — in the while_loop
+            # context XLA fuses the matvec with the surrounding axpys,
+            # so its marginal cost is below a standalone kernel launch
+            # (which also re-streams an unused b operand).  The kernel
+            # stays in use where it wins: the standalone MG solver's
+            # outer residual (solvers/multigrid.make_mg_solver).
             if pre == "ssor":
                 kw["precond"] = elliptic.make_ssor_precond(grid, cfg,
                                                            lam=lam)

@@ -37,10 +37,16 @@ from beom_tpu.solvers import elliptic
 
 
 def _rb_kernel(x_ref, b_ref, Hu_ref, Hv_ref, m_ref,   # ANY (ny, nx)
-               out_ref,                               # VMEM (by, nx)
-               *scratch, ny: int, nx: int, dx: float, dy: float,
+               *rest, ny: int, nx: int, dx: float, dy: float,
                by: int, wy: int, k: int,
-               lam: float, omega: float, reverse: bool):
+               lam: float, omega: float, reverse: bool,
+               residual: bool = False):
+    if residual:                      # outputs (x', r = b - A x')
+        out_ref, r_ref = rest[0], rest[1]
+        scratch = rest[2:]
+    else:
+        out_ref = rest[0]
+        scratch = rest[1:]
     i = pl.program_id(0)
     nbands = pl.num_programs(0)
     rows = by + 2 * wy
@@ -114,17 +120,39 @@ def _rb_kernel(x_ref, b_ref, Hu_ref, Hv_ref, m_ref,   # ANY (ny, nx)
 
     x = jax.lax.fori_loop(0, k, sweep, x)
     out_ref[:] = x[wy:wy + by, :]
+    if residual:
+        # r = b - A x on the interior rows, from the same VMEM block:
+        # after k sweeps x is cone-valid on rows [2k, rows-2k), and the
+        # 5-point apply needs one more row, so wy >= 2k+1 is required
+        # (make_level_sweep sizes the halo).  Band-edge rows use the
+        # sweep-lagged halo values — the same block-lag approximation
+        # as the smoothing itself, fine INSIDE a cycle (preconditioner
+        # quality), not for an outer convergence residual.
+        Ax = (Hu * ops.sxp(x) + ops.sxm(Hu) * ops.sxm(x)
+              - (Hu + ops.sxm(Hu)) * x) * rdx2 \
+           + (Hv * ops.syp(x) + ops.sym(Hv) * ops.sym(x)
+              - (Hv + ops.sym(Hv)) * x) * rdy2
+        if lam != 0.0:
+            Ax = Ax - lam * x
+        r = (b - Ax * m) * m
+        r_ref[:] = r[wy:wy + by, :]
 
 
 def make_level_sweep(Hu, Hv, mask, dx: float, dy: float, *,
                      lam: float = 0.0, k: int = 1, omega: float = 1.0,
                      reverse: bool = False,
+                     residual: bool = False,
                      by: Optional[int] = None,
                      interpret: bool = False,
                      vmem_limit_bytes: int = 100 * 1024 * 1024):
     """sweep(x, b) -> x: k temporally-blocked red-black GS/SOR sweeps
     (black-red colour order when `reverse` — the multigrid post-smooth
     direction) in ONE HBM pass on an arbitrary periodic (ny, nx) level.
+
+    residual=True: sweep(x, b) -> (x, b - A x) — the post-sweep
+    residual comes out of the SAME band pass (the multigrid pre-smooth
+    + residual + restrict chain then needs no separate ~6-op XLA
+    matvec over the level; r4 VERDICT item 1b).
 
     Takes raw level fields rather than Grid/Config so the multigrid
     hierarchy (solvers/multigrid.py) can instantiate one forward + one
@@ -136,8 +164,9 @@ def make_level_sweep(Hu, Hv, mask, dx: float, dy: float, *,
     if ny % by:
         raise ValueError(f"by={by} must divide ny={ny}")
     # one full sweep (red then black, black reading updated red) widens
-    # the dependence cone by 2 cells -> k sweeps need a 2k halo
-    wy = ((2 * k + 7) // 8) * 8
+    # the dependence cone by 2 cells -> k sweeps need a 2k halo (+1 for
+    # the in-band residual's 5-point apply)
+    wy = ((2 * k + (1 if residual else 0) + 7) // 8) * 8
     if by < wy or by + wy > ny:
         raise ValueError(f"band {by} incompatible with halo {wy}")
 
@@ -146,9 +175,108 @@ def make_level_sweep(Hu, Hv, mask, dx: float, dy: float, *,
 
     kernel = functools.partial(_rb_kernel, ny=ny, nx=nx, dx=dx, dy=dy,
                                by=by, wy=wy, k=k,
-                               lam=lam, omega=omega, reverse=reverse)
+                               lam=lam, omega=omega, reverse=reverse,
+                               residual=residual)
+    out_spec = pl.BlockSpec((by, nx), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((ny, nx), dt)
     call = pl.pallas_call(
         kernel,
+        grid=(ny // by,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
+        out_specs=(out_spec, out_spec) if residual else out_spec,
+        out_shape=(out_shape, out_shape) if residual else out_shape,
+        scratch_shapes=bufs + [pltpu.SemaphoreType.DMA((5, 2))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes),
+        interpret=interpret,
+    )
+
+    def sweep_k(x, b):
+        return call(x, b, Hu, Hv, mask)
+
+    return sweep_k
+
+
+def make_apply_kernel(Hu, Hv, mask, dx: float, dy: float, *,
+                      lam: float = 0.0, mode: str = "residual",
+                      by: Optional[int] = None,
+                      interpret: bool = False,
+                      vmem_limit_bytes: int = 100 * 1024 * 1024):
+    """Single-HBM-pass operator application on a periodic (ny, nx)
+    level: mode='residual' -> r(x, b) = b - A x (the EXACT outer
+    residual of the standalone MG iteration); mode='matvec' ->
+    q(x) = A x (the CG matvec at grids beyond the VMEM-solver tier).
+    The op-by-op XLA apply costs ~6 full passes (measured 0.876 ms at
+    2048^2 vs ~0.3 ms for one band pass)."""
+    ny, nx = mask.shape
+    dt = mask.dtype
+    rdx2, rdy2 = 1.0 / dx ** 2, 1.0 / dy ** 2
+    matvec = mode == "matvec"
+
+    def kernel(x_ref, b_ref, Hu_ref, Hv_ref, m_ref, out_ref,
+               *scratch, by: int, wy: int):
+        i = pl.program_id(0)
+        nbands = pl.num_programs(0)
+        rows = by + 2 * wy
+        sems = scratch[-1]
+        bufs = scratch[:-1]
+        ins = (x_ref, b_ref, Hu_ref, Hv_ref, m_ref)
+
+        def dma_band(kk, ref, buf):
+            def seg(ref_rows, buf_rows, sem):
+                cp = pltpu.make_async_copy(ref.at[ref_rows, :],
+                                           buf.at[buf_rows, :], sem)
+                cp.start()
+                return cp
+
+            def al(off):
+                return pl.multiple_of(off, 8)
+
+            @pl.when(jnp.logical_and(i > 0, i < nbands - 1))
+            def _():
+                seg(pl.ds(al(i * by - wy), rows), pl.ds(0, rows),
+                    sems.at[kk, 0]).wait()
+
+            @pl.when(i == 0)
+            def _():
+                c1 = seg(pl.ds(al(ny - wy), wy), pl.ds(0, wy),
+                         sems.at[kk, 0])
+                c2 = seg(pl.ds(0, by + wy), pl.ds(wy, by + wy),
+                         sems.at[kk, 1])
+                c1.wait()
+                c2.wait()
+
+            @pl.when(jnp.logical_and(i == nbands - 1, nbands > 1))
+            def _():
+                c1 = seg(pl.ds(al(i * by - wy), by + wy),
+                         pl.ds(0, by + wy), sems.at[kk, 0])
+                c2 = seg(pl.ds(0, wy), pl.ds(by + wy, wy),
+                         sems.at[kk, 1])
+                c1.wait()
+                c2.wait()
+
+        for kk, (r_, bf) in enumerate(zip(ins, bufs)):
+            dma_band(kk, r_, bf)
+
+        x, b, Hu_, Hv_, m = [bf[:] for bf in bufs]
+        Ax = (Hu_ * ops.sxp(x) + ops.sxm(Hu_) * ops.sxm(x)
+              - (Hu_ + ops.sxm(Hu_)) * x) * rdx2 \
+           + (Hv_ * ops.syp(x) + ops.sym(Hv_) * ops.sym(x)
+              - (Hv_ + ops.sym(Hv_)) * x) * rdy2
+        if lam != 0.0:
+            Ax = Ax - lam * x
+        out = Ax * m if matvec else (b - Ax * m) * m
+        out_ref[:] = out[wy:wy + by, :]
+
+    wy = 8
+    by = by or max(8, min(256, ny // 2 // 8 * 8))
+    if ny % by or by < wy or by + wy > ny:
+        raise ValueError(f"band {by} incompatible with ({ny}, {wy})")
+    rows = by + 2 * wy
+    bufs = [pltpu.VMEM((rows, nx), dt) for _ in range(5)]
+    call = pl.pallas_call(
+        functools.partial(kernel, by=by, wy=wy),
         grid=(ny // by,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
         out_specs=pl.BlockSpec((by, nx), lambda i: (i, 0),
@@ -160,10 +288,16 @@ def make_level_sweep(Hu, Hv, mask, dx: float, dy: float, *,
         interpret=interpret,
     )
 
-    def sweep_k(x, b):
-        return call(x, b, Hu, Hv, mask)
+    if matvec:
+        zeros = jnp.zeros_like(mask)
 
-    return sweep_k
+        def apply(x):
+            return call(x, zeros, Hu, Hv, mask)
+    else:
+        def apply(x, b):
+            return call(x, b, Hu, Hv, mask)
+
+    return apply
 
 
 def make_rb_solver(grid: Grid, cfg: Config, lam: float = 0.0,

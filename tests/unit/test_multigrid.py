@@ -117,3 +117,38 @@ def test_solver_mg_step_dispatch():
 def test_config_rejects_unknown_solver():
     with pytest.raises(ValueError):
         make_case("rigid_lid", nx=32, ny=32, solver="bogus")
+
+
+def test_mg_pallas_tier_matches_xla(problem):
+    """r4 ADVICE: the Pallas MG tier (matmul transfers + fused
+    coarse-stack kernel via the interpreter) must produce the same
+    solve as smoother='xla'.  At 64^2 the whole hierarchy is below
+    coarse_size, so this exercises make_coarse_stack_call end-to-end
+    (banded-matmul R/P, in-kernel recursion, the gamma schedule)."""
+    cfg, grid, b = problem
+    xs = {}
+    for sm in ("xla", "pallas"):
+        solve = make_mg_solver(grid, cfg, smoother=sm, interpret=True)
+        x = solve(b)
+        assert _relres(x, b, grid, cfg) < 1e-9, sm
+        nwet = jnp.sum(grid.mask)
+        xs[sm] = x - grid.mask * (jnp.sum(x) / nwet)
+    scale = float(jnp.max(jnp.abs(xs["xla"])) + 1.0)
+    assert float(jnp.max(jnp.abs(xs["pallas"] - xs["xla"]))) < 1e-8 * scale
+
+
+def test_mg_pallas_precond_cg(problem):
+    """MG-preconditioned CG with the Pallas coarse-stack tier
+    (interpret mode) converges like the XLA-smoothed tier."""
+    cfg, grid, b = problem
+    res_x = elliptic.cg_solve(b, grid, cfg,
+                              precond=make_mg_precond(grid, cfg))
+    res_p = elliptic.cg_solve(
+        b, grid, cfg,
+        precond=make_mg_precond(grid, cfg, smoother="pallas",
+                                interpret=True))
+    # the Pallas tier deliberately runs the cheaper (2,..,1,1) gamma
+    # schedule (V at the deepest transitions, _pallas_gamma_schedule),
+    # so it trades a few extra CG iterations for much cheaper cycles
+    assert int(res_p.iters) <= 2 * int(res_x.iters)
+    assert _relres(res_p.x, b, grid, cfg) < 1e-9

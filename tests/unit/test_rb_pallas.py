@@ -44,3 +44,54 @@ def test_blocked_rb_neumann_residual():
         * grid.mask
     rel = float(jnp.linalg.norm(r) / jnp.linalg.norm(jnp.asarray(b)))
     assert rel < 1e-7
+
+
+def test_level_sweep_residual_fused():
+    """make_level_sweep(residual=True) must return the same x as the
+    plain sweep plus the residual b - A x; interior rows are exact,
+    band-edge rows carry the documented sweep lag (compare on the
+    whole grid with a single full-height band so no lag exists)."""
+    from beom_tpu.stencils.redblack_pallas import make_level_sweep
+
+    cfg, grid, b = _setup(nx=128, ny=64)
+    Hu, Hv = elliptic.face_depths(grid)
+    kw = dict(lam=0.0, k=2, omega=1.0, by=32, interpret=True)
+    sweep = make_level_sweep(Hu, Hv, grid.mask, cfg.dx, cfg.dy, **kw)
+    sweep_r = make_level_sweep(Hu, Hv, grid.mask, cfg.dx, cfg.dy,
+                               residual=True, **kw)
+    x0 = jnp.zeros_like(jnp.asarray(b))
+    x1 = sweep(x0, jnp.asarray(b))
+    x2, r = sweep_r(x0, jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1),
+                               rtol=0, atol=1e-13)
+    # exact residual of the returned iterate, away from band edges
+    r_exact = np.asarray((jnp.asarray(b) - elliptic.laplacian_H(
+        x2, Hu, Hv, grid, cfg)) * grid.mask)
+    d = np.abs(np.asarray(r) - r_exact)
+    interior = np.ones_like(d, bool)
+    for j0 in range(0, 64, 32):            # band boundaries at 0, 32
+        interior[max(j0 - 5, 0):j0 + 5, :] = False
+    assert d[interior].max() < 1e-10 * max(np.abs(r_exact).max(), 1.0)
+
+
+def test_apply_kernel_matches_laplacian():
+    from beom_tpu.stencils.redblack_pallas import make_apply_kernel
+
+    cfg, grid, b = _setup(nx=128, ny=64)
+    Hu, Hv = elliptic.face_depths(grid)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(64, 128))) * grid.mask
+    for lam in (0.0, 1e-4):
+        mv = make_apply_kernel(Hu, Hv, grid.mask, cfg.dx, cfg.dy,
+                               lam=lam, mode="matvec", by=16,
+                               interpret=True)
+        ref = elliptic.laplacian_H(x, Hu, Hv, grid, cfg, lam=lam)
+        np.testing.assert_allclose(np.asarray(mv(x)), np.asarray(ref),
+                                   rtol=0, atol=1e-12)
+        rk = make_apply_kernel(Hu, Hv, grid.mask, cfg.dx, cfg.dy,
+                               lam=lam, mode="residual", by=16,
+                               interpret=True)
+        ref_r = (jnp.asarray(b) - ref) * grid.mask
+        np.testing.assert_allclose(np.asarray(rk(x, jnp.asarray(b))),
+                                   np.asarray(ref_r), rtol=0,
+                                   atol=1e-12)
