@@ -148,7 +148,12 @@ def _tiled_kernel(scal_ref,                 # SMEM [2] as f32
         ref, buf = ins[k], bufs[k]
 
         def seg(ref_rows, buf_rows, s, k=k, ref=ref, buf=buf):
-            xs = pl.ds(pl.multiple_of(j * bx, 8), cols)
+            # the lane-dim offset must be PROVABLY divisible by the
+            # 128-lane tiling on hardware (Mosaic rejects a weaker
+            # hint; caught on-TPU in r5 — interpret mode never checks)
+            xs = pl.ds(pl.multiple_of(j * bx,
+                                      128 if bx % 128 == 0 else 8),
+                       cols)
             if len(ref.shape) == 3:
                 src = ref.at[:, ref_rows, xs]
                 dst = buf.at[:, buf_rows, :]
